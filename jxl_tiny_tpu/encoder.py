@@ -1,0 +1,190 @@
+"""Top-level encoder: image -> spec-conformant .jxl codestream.
+
+Orchestration mirrors EncodeFile/EncodeFrame (enc_file.cc:55-105,
+enc_frame.cc:818-860). Group analysis runs through a pluggable pipeline:
+the numpy golden model (jxl_tiny_tpu.ref) or the batched TPU pipeline
+(jxl_tiny_tpu.ops). Section assembly, entropy-code optimization, and bit
+packing are host-side.
+"""
+import numpy as np
+
+from . import constants as C
+from .common import (
+    ImageDim,
+    clamp_distance,
+    compute_distance_params,
+    div_ceil,
+)
+from .bitstream.bit_writer import BitWriter
+from .bitstream import sections as S
+from .entropy import build_entropy_code
+from .ref import pipeline_np as P
+from .ref import group_np as G
+
+
+class GroupResult:
+    """Per-group analysis outputs (cropped to valid block dims)."""
+
+    def __init__(self, gt, strategy, is_first, raw_qf, ytox, ytob, yb, xb):
+        self.tokens = gt.tokens[:yb, :xb]
+        self.counts = gt.counts[:yb, :xb]
+        self.quant_dc = gt.quant_dc[:, :yb, :xb]
+        self.strategy = strategy[:yb, :xb]
+        self.is_first = is_first[:yb, :xb]
+        self.raw_qf = raw_qf[:yb, :xb]
+        self.ytox = ytox
+        self.ytob = ytob
+        self.yb = yb
+        self.xb = xb
+
+
+def _extract_group(img, gx, gy):
+    """Edge-replicated 256x256 patch (CopyAndPadImage, enc_frame.cc:597-617)."""
+    _, h, w = img.shape
+    ys = np.clip(gy * 256 + np.arange(256), 0, h - 1)
+    xs = np.clip(gx * 256 + np.arange(256), 0, w - 1)
+    return img[:, ys[:, None], xs[None, :]]
+
+
+def analyze_group_numpy(img, gx, gy, distp):
+    _, h, w = img.shape
+    gw = min(256, w - gx * 256)
+    gh = min(256, h - gy * 256)
+    xb, yb = div_ceil(gw, 8), div_ceil(gh, 8)
+    xyb = P.to_xyb(_extract_group(img, gx, gy))
+    qf, masking, raw_qf = P.compute_adaptive_quant_field(
+        xyb, distp.distance, distp.inv_scale
+    )
+    ytox, ytob = P.compute_cmap(xyb, xb, yb)
+    ytox_p = _pad_tile_map(ytox)
+    ytob_p = _pad_tile_map(ytob)
+    strategy, is_first = P.compute_ac_strategy(
+        xyb, qf, masking, ytox_p, ytob_p, distp.distance, xb, yb
+    )
+    raw_qf = P.adjust_quant_field(strategy, is_first, raw_qf)
+    gt = G.encode_group(
+        xyb,
+        strategy,
+        is_first,
+        raw_qf,
+        ytox_p,
+        ytob_p,
+        distp.scale,
+        distp.scale_dc,
+        distp.x_qm_mul,
+        xb,
+        yb,
+    )
+    return GroupResult(gt, strategy, is_first, raw_qf, ytox, ytob, yb, xb)
+
+
+def _pad_tile_map(m):
+    ty, tx = m.shape
+    return np.pad(m, ((0, 4 - ty), (0, 4 - tx)), mode="edge")
+
+
+def encode_image(img: np.ndarray, distance: float = 1.0, analyze_fn=None) -> bytes:
+    """img: [3, H, W] float32 linear sRGB -> .jxl bytes."""
+    assert img.ndim == 3 and img.shape[0] == 3
+    distance = clamp_distance(distance)
+    distp = compute_distance_params(distance)
+    dim = ImageDim(img.shape[2], img.shape[1])
+    if analyze_fn is None:
+        analyze_fn = analyze_group_numpy
+
+    groups = {}
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            groups[(gy, gx)] = analyze_fn(img, gx, gy, distp)
+
+    return assemble_codestream(groups, dim, distp)
+
+
+def assemble_codestream(groups, dim: ImageDim, distp) -> bytes:
+    """Build sections, optimize entropy codes, pack the final codestream."""
+    # --- DC group sections ---
+    dc_ops = []
+    for dgy in range(dim.ysize_dc_groups):
+        for dgx in range(dim.xsize_dc_groups):
+            dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
+
+    # --- AC group sections ---
+    ac_ops = []
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            g = groups[(gy, gx)]
+            ac_ops.append(
+                S.build_ac_group_section(g.tokens, g.counts, g.strategy, g.is_first)
+            )
+
+    # --- Two-pass entropy optimization (enc_frame.cc:846-850) ---
+    dc_histo = S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS)
+    ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
+    dc_code = build_entropy_code(dc_histo)
+    ac_code = build_entropy_code(ac_histo)
+
+    # --- Serialize sections in stream order ---
+    sections = []
+    w = BitWriter()
+    S.write_dc_global(w, distp, dim.num_dc_groups, dc_code)
+    sections.append(w)
+    for ops in dc_ops:
+        sections.append(S.serialize_section(ops, dc_code))
+    w = BitWriter()
+    S.write_ac_global(w, dim.num_groups, ac_code)
+    sections.append(w)
+    for ops in ac_ops:
+        sections.append(S.serialize_section(ops, ac_code))
+
+    # --- Final assembly ---
+    out = BitWriter()
+    S.write_file_header(out, dim.xsize, dim.ysize)
+    S.write_frame_header(out, distp.x_qm_scale, distp.epf_iters)
+    S.write_toc_and_sections(out, sections)
+    return out.to_bytes()
+
+
+def _build_dc_group(groups, dim: ImageDim, dgy, dgx):
+    """Assemble per-DC-group maps from member groups and build its section ops."""
+    ydb = div_ceil(min(2048, dim.ysize - dgy * 2048), 8)
+    xdb = div_ceil(min(2048, dim.xsize - dgx * 2048), 8)
+    quant_dc = np.zeros((3, ydb, xdb), np.int16)
+    raw_qf = np.zeros((ydb, xdb), np.uint8)
+    strategy_code = np.zeros((ydb, xdb), np.int64)
+    is_first = np.zeros((ydb, xdb), bool)
+    ty = div_ceil(ydb * 8, 64)
+    tx = div_ceil(xdb * 8, 64)
+    ytox = np.zeros((ty, tx), np.int8)
+    ytob = np.zeros((ty, tx), np.int8)
+
+    gy0, gx0 = dgy * 8, dgx * 8
+    for gy in range(gy0, min(gy0 + 8, dim.ysize_groups)):
+        for gx in range(gx0, min(gx0 + 8, dim.xsize_groups)):
+            g = groups[(gy, gx)]
+            by0 = (gy - gy0) * 32
+            bx0 = (gx - gx0) * 32
+            quant_dc[:, by0 : by0 + g.yb, bx0 : bx0 + g.xb] = g.quant_dc
+            raw_qf[by0 : by0 + g.yb, bx0 : bx0 + g.xb] = g.raw_qf
+            strategy_code[by0 : by0 + g.yb, bx0 : bx0 + g.xb] = C.STRATEGY_CODE[
+                g.strategy
+            ]
+            is_first[by0 : by0 + g.yb, bx0 : bx0 + g.xb] = g.is_first
+            t_y0 = (gy - gy0) * 4
+            t_x0 = (gx - gx0) * 4
+            gty, gtx = g.ytox.shape
+            ytox[t_y0 : t_y0 + gty, t_x0 : t_x0 + gtx] = g.ytox
+            ytob[t_y0 : t_y0 + gty, t_x0 : t_x0 + gtx] = g.ytob
+
+    return S.build_dc_group_section(
+        quant_dc, raw_qf, strategy_code, is_first, ytox, ytob
+    )
+
+
+def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):
+    from .io.pfm import read_pfm
+
+    img = read_pfm(pfm_path)
+    data = encode_image(img, distance, analyze_fn=analyze_fn)
+    with open(out_path, "wb") as f:
+        f.write(data)
+    return len(data)
