@@ -28,6 +28,20 @@ class EntropyCode:
     context_map: np.ndarray  # [num_contexts] uint8 cluster ids
     depths: np.ndarray  # [num_clusters, ALPHABET_SIZE] uint8
     bits: np.ndarray  # [num_clusters, ALPHABET_SIZE] uint16
+    # Depths used for token emission. Identical to `depths` except that
+    # single-symbol clusters are 0-bit codes: the serialized form (simple tree
+    # with NSYM=1) consumes no bits at decode time. (The reference's
+    # CreateHuffmanTree leaves a fake depth of 1 in this case,
+    # enc_huffman_tree.cc:84-87, and relies on clustering never producing
+    # single-symbol histograms.)
+    token_depths: np.ndarray = None
+
+    def __post_init__(self):
+        if self.token_depths is None:
+            td = self.depths.copy()
+            single = (td > 0).sum(axis=1) == 1
+            td[single] = 0
+            self.token_depths = td
 
     @property
     def num_clusters(self):
@@ -60,7 +74,7 @@ def write_tokens(ctx, values, code: EntropyCode, writer):
     ctx = np.asarray(ctx, np.int64)
     tok, nbits, bits = uint_encode(values)
     cluster = code.context_map[ctx].astype(np.int64)
-    d = code.depths[cluster, tok].astype(np.int64)
+    d = code.token_depths[cluster, tok].astype(np.int64)
     sym = code.bits[cluster, tok].astype(np.uint64)
     data = sym | (bits.astype(np.uint64) << d.astype(np.uint64))
     writer.write_arrays((d + nbits).astype(np.uint8), data)

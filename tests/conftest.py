@@ -1,0 +1,20 @@
+import os
+
+# Multi-device tests run on a virtual CPU mesh; set up before jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def testdata():
+    return os.path.join(os.path.dirname(__file__), "..", "testdata")
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))

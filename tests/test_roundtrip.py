@@ -1,0 +1,78 @@
+"""Integration tests: the verification triangle.
+
+1. The verification decoder must correctly decode bitstreams produced by the
+   *reference* encoder (golden files in testdata/golden, generated from the
+   built cjxl_tiny) — this validates the decoder against the real format.
+2. Our encoder's output must decode through that validated decoder with PSNR
+   matching the reference's output on the same image, at comparable size.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from jxl_tiny_tpu.io.pfm import read_pfm
+from jxl_tiny_tpu.decode import decode_jxl
+from jxl_tiny_tpu import encode_image
+
+from conftest import psnr
+
+# name -> (distance, reference PSNR measured via this decoder, reference bytes)
+GOLDEN = {
+    "tiny64": (1.0, 39.10, 426),
+    "photo256": (1.0, 39.92, 3574),
+    "odd131x77": (1.0, 40.68, 1053),
+    "gradient512": (1.0, 38.96, 12401),
+    "gradient512_d0.5": (0.5, 39.46, 33624),
+    "gradient512_d2.0": (2.0, 38.16, 6512),
+}
+
+
+def _orig_name(name):
+    return name.split("_d")[0]
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_decode_reference_bitstream(testdata, name):
+    dist, ref_psnr, ref_size = GOLDEN[name]
+    orig = read_pfm(os.path.join(testdata, f"{_orig_name(name)}.pfm"))
+    data = open(os.path.join(testdata, "golden", f"{name}.jxl"), "rb").read()
+    assert len(data) == ref_size
+    dec = decode_jxl(data)
+    assert dec.shape == orig.shape
+    p = psnr(np.clip(dec, 0, 1), orig)
+    assert p > ref_psnr - 0.05, f"decoder regression: {p:.2f} vs {ref_psnr}"
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_encode_matches_reference_quality(testdata, name):
+    dist, ref_psnr, ref_size = GOLDEN[name]
+    orig = read_pfm(os.path.join(testdata, f"{_orig_name(name)}.pfm"))
+    mine = encode_image(orig, dist)
+    dec = decode_jxl(mine)
+    p = psnr(np.clip(dec, 0, 1), orig)
+    assert p > ref_psnr - 0.1, f"quality below reference: {p:.2f} vs {ref_psnr}"
+    assert len(mine) < ref_size * 1.02, f"size {len(mine)} vs ref {ref_size}"
+
+
+def test_distance_monotonicity(testdata):
+    orig = read_pfm(os.path.join(testdata, "photo256.pfm"))
+    sizes = [len(encode_image(orig, d)) for d in (0.5, 1.0, 2.0)]
+    assert sizes[0] > sizes[1] > sizes[2]
+
+
+def test_tiny_image_sizes(testdata):
+    """Images smaller than a block and non-multiple sizes must encode+decode.
+
+    Content is uniform noise — the worst case for a DCT codec; ~15 dB at
+    d=1.0 is what the reference achieves on such content too (and the
+    reference encoder crashes outright on sub-8px dimensions, e.g. 5x7 hits
+    a PaddedBytes assertion; we handle them).
+    """
+    rng = np.random.RandomState(0)
+    for h, w in ((1, 1), (7, 5), (8, 8), (17, 9), (64, 1)):
+        img = rng.rand(3, h, w).astype(np.float32) ** 2.2
+        data = encode_image(img, 1.0)
+        dec = decode_jxl(data)
+        assert dec.shape == (3, h, w)
+        assert psnr(np.clip(dec, 0, 1), img) > 14
