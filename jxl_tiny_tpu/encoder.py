@@ -180,6 +180,64 @@ def _build_dc_group(groups, dim: ImageDim, dgy, dgx):
     )
 
 
+def _extract_all_groups(img, dim: ImageDim):
+    """All group patches [G, 3, 256, 256] (edge replicated) + valid dims."""
+    _, h, w = img.shape
+    g = dim.num_groups
+    groups = np.empty((g, 3, 256, 256), np.float32)
+    yb = np.empty(g, np.int32)
+    xb = np.empty(g, np.int32)
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            groups[i] = _extract_group(img, gx, gy)
+            yb[i] = div_ceil(min(256, h - gy * 256), 8)
+            xb[i] = div_ceil(min(256, w - gx * 256), 8)
+            i += 1
+    return groups, yb, xb
+
+
+def encode_image_jax(img: np.ndarray, distance: float = 1.0, mesh=None) -> bytes:
+    """Batched TPU path: all groups analyzed in one jitted (optionally
+    mesh-sharded) program, host packs the codestream."""
+    from .ref.group_np import GroupTokens
+    from .parallel.sharding import analyze_groups_sharded, make_mesh
+
+    assert img.ndim == 3 and img.shape[0] == 3
+    distance = clamp_distance(distance)
+    distp = compute_distance_params(distance)
+    dim = ImageDim(img.shape[2], img.shape[1])
+    groups_px, yb_arr, xb_arr = _extract_all_groups(img, dim)
+    if mesh is None:
+        mesh = make_mesh()
+    out = analyze_groups_sharded(groups_px, yb_arr, xb_arr, distp, mesh)
+
+    groups = {}
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb, xb = int(yb_arr[i]), int(xb_arr[i])
+            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+            gt = GroupTokens(
+                tokens=out["tokens"][i],
+                counts=out["counts"][i],
+                quant_dc=out["quant_dc"][i].astype(np.int16),
+                nzeros=None,
+            )
+            groups[(gy, gx)] = GroupResult(
+                gt,
+                out["strategy"][i].astype(np.uint8),
+                out["is_first"][i],
+                out["raw_qf"][i].astype(np.uint8),
+                out["ytox"][i, :ty, :tx].astype(np.int8),
+                out["ytob"][i, :ty, :tx].astype(np.int8),
+                yb,
+                xb,
+            )
+            i += 1
+    return assemble_codestream(groups, dim, distp)
+
+
 def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):
     from .io.pfm import read_pfm
 

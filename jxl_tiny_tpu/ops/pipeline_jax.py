@@ -1,0 +1,739 @@
+"""Batched TPU analysis pipeline: [G, 3, 256, 256] groups -> token arrays.
+
+TPU-first rewrite of the per-group pipeline (numpy golden model in
+jxl_tiny_tpu.ref): everything is batched over the group axis G — the sharding
+axis for multi-chip encoding (jxl_tiny_tpu.parallel). Control flow is
+compute-all-select: all candidate DCTs are computed for every cell and the
+strategy decision masks select among them; no data-dependent shapes anywhere,
+so XLA fuses the whole pipeline into a handful of kernels.
+
+Stage semantics match jxl_tiny_tpu.ref.{pipeline_np,group_np} (tested against
+them); reference citations live there.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+from ..ref.group_np import _threshold_map
+from .dct_jax import dct2d
+
+F32 = np.float32  # host scalar constants (jnp.float32() builds device arrays)
+
+
+# ---------------------------------------------------------------------------
+# Constant tables (built once with numpy)
+# ---------------------------------------------------------------------------
+
+
+def _strategy_tables():
+    qm = np.zeros((3, 3, 128), np.float32)  # [strategy, channel, coeff]
+    dqm = np.zeros((3, 3, 128), np.float32)
+    thr = np.zeros((3, 3, 128), np.float32)
+    qm[C.DCT8, :, :64] = C.QUANT_DCT8.reshape(3, 64)
+    dqm[C.DCT8, :, :64] = C.DEQUANT_DCT8.reshape(3, 64)
+    qm[C.DCT16X8] = qm[C.DCT8X16] = C.QUANT_DCT16.reshape(3, 128)
+    dqm[C.DCT16X8] = dqm[C.DCT8X16] = C.DEQUANT_DCT16.reshape(3, 128)
+    for c in range(3):
+        thr[C.DCT8, c, :64] = _threshold_map(c, 1, 1).ravel()
+        thr[C.DCT16X8, c] = _threshold_map(c, 1, 2).ravel()
+        thr[C.DCT8X16, c] = _threshold_map(c, 2, 1).ravel()
+    order = np.zeros((3, 128), np.int32)
+    order[C.DCT8] = np.concatenate([C.COEFF_ORDER8, 64 + np.arange(64)])
+    order[C.DCT16X8] = order[C.DCT8X16] = C.COEFF_ORDER16
+    return qm, dqm, thr, order
+
+
+_QM_TAB, _DQM_TAB, _THR_TAB, _ORDER_TAB = _strategy_tables()
+
+# Hybrid-uint token id for every possible 16-bit token value (gather LUT).
+def _uint_luts():
+    from ..entropy.uint_coder import uint_encode
+
+    tok, nbits, _ = uint_encode(np.arange(1 << 16, dtype=np.uint32))
+    return tok.astype(np.int32), nbits.astype(np.int32)
+
+
+_UINT_TOK_LUT, _UINT_NBITS_LUT = _uint_luts()
+
+
+# ---------------------------------------------------------------------------
+# Shifts with edge clamping (pixel stencils)
+# ---------------------------------------------------------------------------
+
+
+def _shift(a, d, axis):
+    """Clamped shift: out[i] = a[i + d] with edge replication."""
+    if d == 0:
+        return a
+    take = [slice(None)] * a.ndim
+    pad = [slice(None)] * a.ndim
+    if d > 0:
+        take[axis] = slice(d, None)
+        pad[axis] = slice(-1, None)
+        parts = [a[tuple(take)]] + [a[tuple(pad)]] * d
+    else:
+        take[axis] = slice(None, d)
+        pad[axis] = slice(None, 1)
+        parts = [a[tuple(pad)]] * (-d) + [a[tuple(take)]]
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _shift0(a, d, axis):
+    """Shift with zero fill."""
+    if d == 0:
+        return a
+    z = jnp.zeros_like(a)
+    take = [slice(None)] * a.ndim
+    zs = [slice(None)] * a.ndim
+    if d > 0:
+        take[axis] = slice(d, None)
+        zs[axis] = slice(0, d)
+        return jnp.concatenate([a[tuple(take)], z[tuple(zs)]], axis=axis)
+    take[axis] = slice(None, d)
+    zs[axis] = slice(0, -d)
+    return jnp.concatenate([z[tuple(zs)], a[tuple(take)]], axis=axis)
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+
+def to_xyb(groups):
+    """[G, 3, 256, 256] linear sRGB -> XYB (enc_xyb.cc:44-81)."""
+    m = jnp.asarray(C.OPSIN_MATRIX)
+    mixed = (
+        jnp.einsum(
+            "ij,gjhw->gihw", m, groups, precision=jax.lax.Precision.HIGHEST
+        )
+        + C.OPSIN_BIAS
+    )
+    mixed = jnp.maximum(mixed, 0.0)
+    tm = jnp.cbrt(mixed) + C.NEG_BIAS_CBRT
+    return jnp.stack(
+        [0.5 * (tm[:, 0] - tm[:, 1]), 0.5 * (tm[:, 0] + tm[:, 1]), tm[:, 2]], axis=1
+    )
+
+
+def _ratio_of_derivatives(v, invert):
+    eps = F32(1e-2)
+    v = jnp.maximum(v, 0.0)
+    k_log2 = 0.693147181
+    k_sg_mul = 226.0480446705883
+    k_sg_ret_mul = (1.0 / 73.377132366608819) * 18.6580932135 * k_log2
+    num_mul = F32(k_sg_ret_mul * 3 * k_sg_mul)
+    v_offset = F32(7.14672470003 * k_log2 + 1e-2)
+    den_mul = F32(k_log2 * k_sg_mul)
+    v2 = v * v
+    num = num_mul * v2 + eps
+    den = den_mul * v * v2 + v_offset
+    return num / den if invert else den / num
+
+
+def _masking_sqrt(v):
+    return F32(0.25) * jnp.sqrt(v * np.float32(np.sqrt(211.50759899638012e8)) + F32(26.481471032459346))
+
+
+def _block_sums(a):
+    g, h, w = a.shape
+    return a.reshape(g, h // 8, 8, w // 8, 8).sum(axis=(2, 4))
+
+
+def _compute_mask(v):
+    v1 = jnp.maximum(v * F32(0.74760422233706747), F32(1e-3))
+    v2 = 1.0 / (v1 + F32(305.04035728311436))
+    v3 = 1.0 / (v1 * v1 + F32(2.1925739705298404))
+    v4 = 1.0 / (v1 * v1 + F32(0.25 * 2.1925739705298404))
+    return (
+        F32(-0.74174993)
+        + F32(3.2353257320940401) * v4
+        + F32(12.906028311180409) * v2
+        + F32(5.0220313103171232) * v3
+    )
+
+
+def adaptive_quant_field(xyb, distance, inv_scale):
+    """[G,3,256,256] -> (qf, masking, raw_qf) [G,32,32]."""
+    g = xyb.shape[0]
+    scale = F32(0.8294 / distance)
+    y_pl = xyb[:, 1]
+    x_pl = xyb[:, 0]
+    gammac = _ratio_of_derivatives(y_pl + F32(0.019), invert=False)
+
+    def diffsq(p):
+        base = 0.25 * (
+            _shift(p, 1, -2) + _shift(p, -1, -2) + _shift(p, -1, -1) + _shift(p, 1, -1)
+        )
+        d = gammac * (p - base)
+        return d * d
+
+    diff = _masking_sqrt(diffsq(y_pl) + F32(23.426802998210313) * diffsq(x_pl))
+    pre_erosion = (
+        diff.reshape(g, 64, 4, 64, 4).sum(axis=(2, 4)) * F32(0.25)
+    )
+
+    neigh = jnp.stack(
+        [
+            _shift(_shift(pre_erosion, dy, -2), dx, -1)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    neigh = jnp.sort(neigh, axis=0)
+    v = F32(0.05) * (pre_erosion + neigh[:4].sum(axis=0))
+    aq = v.reshape(g, 32, 2, 32, 2).sum(axis=(2, 4))
+    masking = 1.0 / (aq + F32(0.001))
+
+    val = _compute_mask(aq)
+    # HfModulation.
+    right = jnp.abs(y_pl - _shift(y_pl, 1, -1))
+    right = right * (1.0 - _col_mask_last_of_8(256))
+    down = jnp.abs(y_pl - _shift(y_pl, 1, -2))
+    down = down * (1.0 - _row_mask_last_of_8(256))
+    val = val + _block_sums(right + down) * F32(-2.0052193233688884 / 112)
+    # ColorModulation.
+    strength = np.float32(2.177823400325309) * np.float32(1.0 - 0.25 * distance)
+    if strength >= 0:
+        red_slope = jnp.minimum(
+            jnp.maximum(xyb[:, 0] - F32(0.0073200141118951231), 0.0),
+            F32(0.019421555948474039),
+        )
+        blue_slope = jnp.minimum(
+            jnp.maximum(xyb[:, 2] - (xyb[:, 1] + F32(0.26973418507870539)), 0.0),
+            F32(0.086890611400405895),
+        )
+        ratio = np.float32(30.610615782142737)
+        red_cov = jnp.minimum(
+            _block_sums(red_slope), F32(ratio * 0.019421555948474039)
+        )
+        blue_cov = jnp.minimum(
+            _block_sums(blue_slope), F32(ratio * 0.086890611400405895)
+        )
+        val = (
+            val
+            + F32(strength * -0.009174542291185913)
+            + red_cov * F32(strength * 5.992297772961519 / ratio)
+            + blue_cov * F32(strength / ratio)
+        )
+    # GammaModulation.
+    r = (xyb[:, 1] + F32(0.16)) - xyb[:, 0]
+    gch = (xyb[:, 1] + F32(0.16)) + xyb[:, 0]
+    ratio_avg = 0.5 * (
+        _ratio_of_derivatives(r, True) + _ratio_of_derivatives(gch, True)
+    )
+    val = val + F32(-0.15526878023684174 * 0.693147180559945) * jnp.log2(
+        _block_sums(ratio_avg) * F32(1.0 / 64)
+    )
+
+    dampen = 1.0 if distance < 7.0 else max(0.0, 1.0 - (distance - 7.0) / 7.0)
+    mul = F32(float(scale) * dampen)
+    add = F32((1.0 - dampen) * 0.5 * float(scale))
+    qf = jnp.exp2(val * F32(1.442695041)) * mul + add
+    raw_qf = jnp.clip(
+        (qf * F32(inv_scale) + F32(0.5)).astype(jnp.int32), 1, 255
+    )
+    return qf, masking, raw_qf
+
+
+@functools.lru_cache(maxsize=None)
+def _col_mask_last_of_8_np(w):
+    m = np.zeros((w,), np.float32)
+    m[7::8] = 1.0
+    return m
+
+
+def _col_mask_last_of_8(w):
+    return jnp.asarray(_col_mask_last_of_8_np(w))[None, None, :]
+
+
+def _row_mask_last_of_8(h):
+    return jnp.asarray(_col_mask_last_of_8_np(h))[None, :, None]
+
+
+def _round_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def compute_cmap(coef8, valid_blocks):
+    """coef8: [G,3,32,32,8,8]; valid_blocks: [G,32,32] bool -> ytox/ytob [G,4,4]."""
+    g = coef8.shape[0]
+    qm_x = jnp.asarray(C.QUANT_DCT8[0])
+    qm_b = jnp.asarray(C.QUANT_DCT8[2])
+    vb = valid_blocks[:, :, :, None, None]
+    m_x = coef8[:, 1] * qm_x * vb
+    s_x = coef8[:, 0] * qm_x * vb
+    m_b = coef8[:, 1] * qm_b * vb
+    s_b = coef8[:, 2] * qm_b * vb
+
+    def tile_sum(a):  # [G,32,32,8,8] -> [G,4,4]
+        return a.reshape(g, 4, 8, 4, 8, 64).sum(axis=(2, 4, 5))
+
+    n = (
+        valid_blocks.reshape(g, 4, 8, 4, 8).sum(axis=(2, 4)).astype(F32) * 64.0
+    )  # [G,4,4]
+
+    def fit(m, s, base):
+        a = C.INV_COLOR_FACTOR * m
+        b = base * m - s
+        ca = tile_sum(a * a)
+        cb = tile_sum(a * b)
+        x = -cb / (ca + n * F32(1e-3 * 0.5) + F32(1e-30))
+        return jnp.clip(_round_away(x), -128, 127).astype(jnp.int32)
+
+    return fit(m_x, s_x, 0.0), fit(m_b, s_b, 1.0)
+
+
+def _ceil_log2_nonzero(v):
+    return jnp.ceil(jnp.log2(jnp.maximum(v, 1).astype(F32))).astype(jnp.int32)
+
+
+def _estimate_entropy(coef, qm, q, masking, fac_x, fac_b, distance):
+    """coef: [G,3,...,S]; qm: [3,S]; q/masking/fac_*: [G,...]. -> [G,...]."""
+    num_blocks = coef.shape[-1] // 64
+    cf = jnp.stack([fac_x, jnp.zeros_like(fac_x), fac_b], axis=1)  # [G,3,...]
+    val = (coef - cf[..., None] * coef[:, 1:2]) * qm.reshape(
+        (1, 3) + (1,) * (coef.ndim - 3) + (-1,)
+    ) * q[:, None, ..., None]
+    rval = jnp.round(val)
+    diff = jnp.abs(val - rval)
+    info_loss = diff.sum(axis=(1, -1))
+    info_loss2 = (diff * diff).sum(axis=(1, -1))
+    aq = jnp.abs(rval)
+    nzeros = (aq != 0).sum(axis=-1)  # [G,3,...]
+    slope = min(1.0, distance / 3.0)
+    ent = (
+        (aq >= 1.5).sum(axis=-1) * F32(4.4628149885273363)
+        + jnp.sqrt(aq).sum(axis=-1) * F32(5.3359184934516337)
+        + nzeros * F32(1.0 + slope * 8.8703248061477744)
+    )
+    nbits = _ceil_log2_nonzero(nzeros + 1) + 1
+    ent = ent + F32(7.565053364251793) * (_ceil_log2_nonzero(nbits + 17) + nbits)
+    entropy = ent.sum(axis=1)
+    score = F32(138.0) * info_loss + F32(50.46839691767866) * jnp.sqrt(
+        num_blocks * info_loss2
+    )
+    return entropy + masking * score
+
+
+def compute_ac_strategy(
+    xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
+):
+    """Returns (strategy [G,32,32] i32, is_first [G,32,32] bool,
+    coef_v [G,3,16,32,128], coef_h [G,3,32,16,128])."""
+    g = xyb.shape[0]
+    qm8 = jnp.asarray(C.QUANT_DCT8.reshape(3, 64))
+    qm16 = jnp.asarray(C.QUANT_DCT16.reshape(3, 128))
+
+    blk_v = xyb.reshape(g, 3, 16, 16, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef_v = dct2d(blk_v, 16, 8).reshape(g, 3, 16, 32, 128)
+    blk_h = xyb.reshape(g, 3, 32, 8, 16, 16).transpose(0, 1, 2, 4, 3, 5)
+    coef_h = dct2d(blk_h, 8, 16).reshape(g, 3, 32, 16, 128)
+
+    fac_x = (
+        jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
+    )  # [G,32,32]
+    fac_b = 1.0 + jnp.repeat(jnp.repeat(ytob.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
+
+    mul8 = F32(1.0735757687292623 * 0.75 + (-0.55 * 0.75) / (distance + 1.4))
+    mul16 = F32(0.9019587899705066 + (-0.55) / (distance + 1.6))
+
+    e8_all = F32(3.0) * mul8 + mul8 * _estimate_entropy(
+        coef8.reshape(g, 3, 32, 32, 64), qm8, qf, masking, fac_x, fac_b, distance
+    )  # [G,32,32]
+
+    # Vertical candidates: q/mask max over (2r, 2r+1); cf at top cell.
+    q_v = jnp.maximum(qf[:, ::2], qf[:, 1::2])  # [G,16,32]
+    m_v = jnp.maximum(masking[:, ::2], masking[:, 1::2])
+    ev_all = mul16 * _estimate_entropy(
+        coef_v, qm16, q_v, m_v, fac_x[:, ::2], fac_b[:, ::2], distance
+    )  # [G,16,32]
+    q_h = jnp.maximum(qf[:, :, ::2], qf[:, :, 1::2])  # [G,32,16]
+    m_h = jnp.maximum(masking[:, :, ::2], masking[:, :, 1::2])
+    eh_all = mul16 * _estimate_entropy(
+        coef_h, qm16, q_h, m_h, fac_x[:, :, ::2], fac_b[:, :, ::2], distance
+    )  # [G,32,16]
+
+    # Quad decisions [G,16,16].
+    e00 = e8_all[:, ::2, ::2]
+    e01 = e8_all[:, ::2, 1::2]
+    e10 = e8_all[:, 1::2, ::2]
+    e11 = e8_all[:, 1::2, 1::2]
+    ev_l = ev_all[:, :, ::2]
+    ev_r = ev_all[:, :, 1::2]
+    eh_t = eh_all[:, ::2, :]
+    eh_b = eh_all[:, 1::2, :]
+    cost16x8 = jnp.minimum(ev_l, e00 + e10) + jnp.minimum(ev_r, e01 + e11)
+    cost8x16 = jnp.minimum(eh_t, e00 + e01) + jnp.minimum(eh_b, e10 + e11)
+    pick_v = cost16x8 < cost8x16
+
+    qi = jnp.arange(16)
+    quad_ok = (
+        (2 * qi[None, :, None] + 2 <= yb_valid[:, None, None])
+        & (2 * qi[None, None, :] + 2 <= xb_valid[:, None, None])
+    )
+    v_l = quad_ok & pick_v & (ev_l < e00 + e10)
+    v_r = quad_ok & pick_v & (ev_r < e01 + e11)
+    h_t = quad_ok & ~pick_v & (eh_t < e00 + e01)
+    h_b = quad_ok & ~pick_v & (eh_b < e10 + e11)
+
+    vfirst = jnp.zeros((g, 32, 32), bool)
+    vfirst = vfirst.at[:, ::2, ::2].set(v_l)
+    vfirst = vfirst.at[:, ::2, 1::2].set(v_r)
+    hfirst = jnp.zeros((g, 32, 32), bool)
+    hfirst = hfirst.at[:, ::2, ::2].set(h_t)
+    hfirst = hfirst.at[:, 1::2, ::2].set(h_b)
+
+    second_v = _shift0(vfirst, -1, -2)
+    second_h = _shift0(hfirst, -1, -1)
+    strategy = jnp.where(
+        vfirst | second_v,
+        C.DCT16X8,
+        jnp.where(hfirst | second_h, C.DCT8X16, C.DCT8),
+    ).astype(jnp.int32)
+    is_first = ~(second_v | second_h)
+    return strategy, is_first, coef_v, coef_h
+
+
+def adjust_quant_field(strategy, is_first, raw_qf):
+    vfirst = is_first & (strategy == C.DCT16X8)
+    hfirst = is_first & (strategy == C.DCT8X16)
+    m_v = jnp.maximum(raw_qf, _shift0(raw_qf, 1, -2))
+    m_h = jnp.maximum(raw_qf, _shift0(raw_qf, 1, -1))
+    out = jnp.where(vfirst, m_v, raw_qf)
+    out = jnp.where(_shift0(vfirst, -1, -2), _shift0(m_v, -1, -2), out)
+    out = jnp.where(hfirst, m_h, out)
+    out = jnp.where(_shift0(hfirst, -1, -1), _shift0(m_h, -1, -1), out)
+    return out
+
+
+def _adjust_quant_bias(q, c):
+    qf = q.astype(F32)
+    bias = C.DEFAULT_QUANT_BIAS
+    small = jnp.abs(qf) < 1.125
+    one_bias = jnp.where(q == 0, 0.0, jnp.where(qf < 0, -bias[c], bias[c]))
+    big = qf - F32(bias[3]) / jnp.where(q == 0, 1.0, qf)
+    return jnp.where(small, one_bias, big)
+
+
+def _dc_from_llf(coef, strat):
+    """coef: [G,yb,xb,128]; strat: [G,yb,xb] -> [G,yb,xb,2]."""
+    c0 = coef[..., 0]
+    c1 = coef[..., 1] * C.DCT_SCALE_16_TO_2
+    first = jnp.where(strat == C.DCT8, c0, c0 + c1)
+    second = c0 - c1
+    return jnp.stack([first, second], axis=-1)
+
+
+def _scatter_covered(values, strat, is_first):
+    """values: [G,yb,xb,2] per-first-cell -> [G,yb,xb] cell map."""
+    vfirst = is_first & (strat == C.DCT16X8)
+    hfirst = is_first & (strat == C.DCT8X16)
+    out = jnp.where(is_first, values[..., 0], 0)
+    out = jnp.where(_shift0(vfirst, -1, -2), _shift0(values[..., 1], -1, -2), out)
+    out = jnp.where(_shift0(hfirst, -1, -1), _shift0(values[..., 1], -1, -1), out)
+    return out
+
+
+def encode_groups(
+    xyb,
+    coef8,
+    coef_v,
+    coef_h,
+    strategy,
+    is_first,
+    raw_qf,
+    ytox,
+    ytob,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    valid,
+):
+    """Fused quantize + tokenize (mirrors ref/group_np.py encode_group).
+
+    Returns tokens [G,32,32,3,64] u32, counts [G,32,32,3] i32,
+    quant_dc [G,3,32,32] i32, nzeros map [G,3,32,32] i32.
+    """
+    g = xyb.shape[0]
+    scale = F32(scale)
+    first = is_first & valid
+
+    coef8p = jnp.concatenate(
+        [coef8.reshape(g, 3, 32, 32, 64), jnp.zeros((g, 3, 32, 32, 64), F32)], -1
+    )
+    coef_v_exp = jnp.repeat(coef_v, 2, axis=2)  # [G,3,32,32,128]
+    coef_h_exp = jnp.repeat(coef_h, 2, axis=3)
+    st = strategy[:, None, :, :, None]
+    coefs = jnp.where(
+        st == C.DCT8, coef8p, jnp.where(st == C.DCT16X8, coef_v_exp, coef_h_exp)
+    )
+
+    qm = jnp.asarray(_QM_TAB)[strategy].transpose(0, 3, 1, 2, 4)  # [G,3,32,32,128]
+    dqm = jnp.asarray(_DQM_TAB)[strategy].transpose(0, 3, 1, 2, 4)
+    thr = jnp.asarray(_THR_TAB)[strategy].transpose(0, 3, 1, 2, 4)
+    order = jnp.asarray(_ORDER_TAB)[strategy]  # [G,32,32,128]
+
+    covered = jnp.asarray(C.COVERED_X)[strategy] * jnp.asarray(C.COVERED_Y)[strategy]
+    quant = raw_qf.astype(F32)
+    qac = scale * quant  # [G,32,32]
+
+    # Y quantize + roundtrip.
+    valy = coefs[:, 1] * qm[:, 1] * qac[..., None]
+    qy = jnp.where(jnp.abs(valy) >= thr[:, 1], jnp.round(valy), 0.0).astype(jnp.int32)
+    y_deq = _adjust_quant_bias(qy, 1) * dqm[:, 1] * (1.0 / (scale * quant))[..., None]
+
+    inv_factor = C.INV_DC_QUANT * np.float32(scale_dc)
+    dc_y = _dc_from_llf(coefs[:, 1], strategy)
+    qdc_y = _round_away(dc_y * F32(inv_factor[1])).astype(jnp.int32)
+
+    fac_x = (
+        jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
+    )
+    fac_b = 1.0 + jnp.repeat(jnp.repeat(ytob.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
+    coef_x = coefs[:, 0] - fac_x[..., None] * y_deq
+    coef_b = coefs[:, 2] - fac_b[..., None] * y_deq
+
+    valx = coef_x * qm[:, 0] * (qac * F32(x_qm_mul))[..., None]
+    qx = jnp.where(jnp.abs(valx) >= thr[:, 0], jnp.round(valx), 0.0).astype(jnp.int32)
+    valb = coef_b * qm[:, 2] * qac[..., None]
+    qb = jnp.where(jnp.abs(valb) >= thr[:, 2], jnp.round(valb), 0.0).astype(jnp.int32)
+
+    cfl_b = np.float32(C.INV_DC_QUANT[2] * C.DC_QUANT[1])
+    qdc_x = _round_away(_dc_from_llf(coef_x, strategy) * F32(inv_factor[0])).astype(
+        jnp.int32
+    )
+    qdc_b = _round_away(
+        _dc_from_llf(coef_b, strategy) * F32(inv_factor[2]) - qdc_y * cfl_b
+    ).astype(jnp.int32)
+
+    quant_dc = jnp.stack(
+        [
+            _scatter_covered(qdc_x, strategy, is_first),
+            _scatter_covered(qdc_y, strategy, is_first),
+            _scatter_covered(qdc_b, strategy, is_first),
+        ],
+        axis=1,
+    )  # [G,3,32,32]
+
+    quantized = jnp.stack([qx, qy, qb], axis=1)  # [G,3,32,32,128]
+
+    # --- Tokenization ---
+    ordered = jnp.take_along_axis(
+        quantized, order[:, None].astype(jnp.int32), axis=-1
+    )
+    size = covered * 64
+    log2_cb = (covered > 1).astype(jnp.int32)
+    k_idx = jnp.arange(128)
+    in_range = (k_idx >= covered[..., None]) & (k_idx < size[..., None])  # [G,32,32,128]
+    nonzero = (ordered != 0) & in_range[:, None]
+    nzeros_total = nonzero.sum(axis=-1)  # [G,3,32,32]
+    shifted_nz = -(-nzeros_total // jnp.maximum(covered[:, None], 1))
+
+    nz_map = jnp.stack(
+        [
+            _scatter_covered(
+                jnp.stack([shifted_nz[:, c]] * 2, -1), strategy, is_first
+            )
+            for c in range(3)
+        ],
+        axis=1,
+    )  # [G,3,32,32]
+
+    top = _shift0(nz_map, -1, -2)
+    left = _shift0(nz_map, -1, -1)
+    by_i = jnp.arange(32)[:, None]
+    bx_i = jnp.arange(32)[None, :]
+    pred = jnp.where(
+        (by_i == 0) & (bx_i == 0),
+        32,
+        jnp.where(
+            by_i == 0,
+            left,
+            jnp.where(bx_i == 0, top, (top + left + 1) // 2),
+        ),
+    )
+
+    strat_code = jnp.asarray(C.STRATEGY_CODE)[strategy]  # [G,32,32]
+    block_ctx = jnp.asarray(C.BLOCK_CTX_MAP)[:, strat_code].transpose(1, 0, 2, 3)
+    nz_bucket = jnp.where(pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2))
+    nzero_ctx = nz_bucket * C.NUM_BLOCK_CTXS + block_ctx  # [G,3,32,32]
+
+    cum_nz = jnp.cumsum(jnp.where(in_range[:, None], nonzero, False), axis=-1)
+    nz_left = nzeros_total[..., None] - cum_nz + jnp.where(
+        in_range[:, None], nonzero, False
+    )
+    prev_nonzero = _shift0(nonzero.astype(jnp.int32), -1, -1)
+    first_pos = k_idx == covered[:, None, :, :, None]
+    prev_init = (nzeros_total <= (size[:, None] >> 4)).astype(jnp.int32)
+    prev = jnp.where(first_pos, prev_init[..., None], prev_nonzero)
+
+    nzl_shift = -(-nz_left // jnp.maximum(covered[:, None, ..., None], 1))
+    k_shift = k_idx >> log2_cb[..., None]
+    zd_ctx = (
+        jnp.asarray(C.COEFF_NNZ_CTX)[jnp.clip(nzl_shift, 0, 63)]
+        + jnp.asarray(C.COEFF_FREQ_CTX)[jnp.clip(k_shift, 0, 63)][:, None]
+    ) * 2 + prev
+    zd_offset = (
+        C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
+        + C.ZERO_DENSITY_CONTEXT_COUNT * block_ctx
+    )
+    coeff_ctx = zd_offset[..., None] + zd_ctx  # [G,3,32,32,128]
+
+    tok_valid = in_range[:, None] & (nz_left > 0) & first[:, None, :, :, None]
+    coeff_val = _pack_signed(ordered)
+
+    # Fixed-layout token array: slot 0 = nzeros token, slot t>=1 = order
+    # position covered + t - 1.
+    slot_src = jnp.minimum(k_idx + covered[..., None] - 1, 127)  # [G,32,32,128]
+    src = slot_src[:, None].astype(jnp.int32)
+    ctx_g = jnp.take_along_axis(coeff_ctx, src, axis=-1)
+    val_g = jnp.take_along_axis(coeff_val, src, axis=-1)
+    valid_g = jnp.take_along_axis(tok_valid, src, axis=-1)
+    valid_g = valid_g.at[..., 0].set(False)
+
+    tokens_full = jnp.where(
+        valid_g, (ctx_g.astype(jnp.uint32) << 16) | val_g.astype(jnp.uint32), 0
+    )
+    tokens_full = tokens_full.at[..., 0].set(
+        (nzero_ctx.astype(jnp.uint32) << 16) | nzeros_total.astype(jnp.uint32)
+    )
+    slot_idx = jnp.arange(128)
+    last_valid = jnp.max(
+        jnp.where(valid_g, slot_idx, 0), axis=-1
+    )  # 0 when no coeff tokens
+    count_full = jnp.where(first[:, None], 1 + last_valid, 0)  # [G,3,32,32]
+
+    tf = tokens_full.transpose(0, 2, 3, 1, 4)  # [G,32,32,3,128]
+    cf = count_full.transpose(0, 2, 3, 1)  # [G,32,32,3]
+    vfirst = first & (strategy == C.DCT16X8)
+    hfirst = first & (strategy == C.DCT8X16)
+    tokens = jnp.where(first[..., None, None], tf[..., :64], 0)
+    counts = jnp.where(first[..., None], jnp.minimum(cf, 64), 0)
+    cont_v = _shift0(tf[..., 64:], -1, 1)  # continuation cell is one row below
+    cont_h = _shift0(tf[..., 64:], -1, 2)
+    sec_v = _shift0(vfirst, -1, 1)
+    sec_h = _shift0(hfirst, -1, 2)
+    tokens = jnp.where(sec_v[..., None, None], cont_v, tokens)
+    tokens = jnp.where(sec_h[..., None, None], cont_h, tokens)
+    counts = jnp.where(
+        sec_v[..., None], jnp.maximum(_shift0(cf, -1, 1) - 64, 0), counts
+    )
+    counts = jnp.where(
+        sec_h[..., None], jnp.maximum(_shift0(cf, -1, 2) - 64, 0), counts
+    )
+    return tokens, counts, quant_dc, nz_map
+
+
+def _pack_signed(v):
+    v = v.astype(jnp.int32)
+    return jnp.where(v >= 0, 2 * v, -2 * v - 1).astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("distance", "inv_scale", "scale", "scale_dc", "x_qm_mul")
+)
+def analyze_groups_jax(
+    groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul
+):
+    """groups: [G,3,256,256] f32 linear sRGB (edge-padded);
+    yb_valid/xb_valid: [G] i32 valid block dims.
+
+    Returns dict of per-group outputs (see encode_groups).
+    """
+    g = groups.shape[0]
+    xyb = to_xyb(groups)
+    qf, masking, raw_qf = adaptive_quant_field(xyb, distance, inv_scale)
+
+    blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef8 = dct2d(blocks8, 8, 8)  # [G,3,32,32,8,8]
+
+    by_i = jnp.arange(32)[:, None]
+    bx_i = jnp.arange(32)[None, :]
+    valid = (by_i[None] < yb_valid[:, None, None]) & (
+        bx_i[None] < xb_valid[:, None, None]
+    )
+
+    ytox, ytob = compute_cmap(coef8, valid)
+    strategy, is_first, coef_v, coef_h = compute_ac_strategy(
+        xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
+    )
+    raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
+    tokens, counts, quant_dc, nz_map = encode_groups(
+        xyb,
+        coef8,
+        coef_v,
+        coef_h,
+        strategy,
+        is_first,
+        raw_qf,
+        ytox,
+        ytob,
+        scale,
+        scale_dc,
+        x_qm_mul,
+        valid,
+    )
+    return dict(
+        tokens=tokens,
+        counts=counts,
+        quant_dc=quant_dc,
+        strategy=strategy,
+        is_first=is_first,
+        raw_qf=raw_qf,
+        ytox=ytox,
+        ytob=ytob,
+    )
+
+
+def make_analyze_fn():
+    """Returns an encoder-driver analyze function backed by the jitted batch
+    pipeline (single-group batches; see encoder.encode_image_jax for the
+    batched path)."""
+    from ..encoder import GroupResult, _extract_group
+    from ..common import div_ceil
+    from ..ref.group_np import GroupTokens
+
+    def analyze(img, gx, gy, distp):
+        _, h, w = img.shape
+        gw = min(256, w - gx * 256)
+        gh = min(256, h - gy * 256)
+        xb, yb = div_ceil(gw, 8), div_ceil(gh, 8)
+        patch = _extract_group(img, gx, gy)[None]
+        out = analyze_groups_jax(
+            jnp.asarray(patch),
+            jnp.array([yb], jnp.int32),
+            jnp.array([xb], jnp.int32),
+            distance=float(distp.distance),
+            inv_scale=float(distp.inv_scale),
+            scale=float(distp.scale),
+            scale_dc=float(distp.scale_dc),
+            x_qm_mul=float(distp.x_qm_mul),
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+        ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+        gt = GroupTokens(
+            tokens=out["tokens"][0],
+            counts=out["counts"][0],
+            quant_dc=out["quant_dc"][0].astype(np.int16),
+            nzeros=None,
+        )
+        return GroupResult(
+            gt,
+            out["strategy"][0].astype(np.uint8),
+            out["is_first"][0],
+            out["raw_qf"][0].astype(np.uint8),
+            out["ytox"][0, :ty, :tx].astype(np.int8),
+            out["ytob"][0, :ty, :tx].astype(np.int8),
+            yb,
+            xb,
+        )
+
+    return analyze

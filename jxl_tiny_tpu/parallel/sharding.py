@@ -1,0 +1,81 @@
+"""Multi-chip scale-out: shard the group axis over a device mesh.
+
+The format is designed for independent-unit parallelism (groups own their TOC
+entry and entropy-coded stream), so distribution is pure data parallelism over
+the group axis 'g' — the TPU-native replacement for the reference's
+ThreadPool (base/data_parallel.h; constructed but unused there). The only
+cross-group couplings live on the host: integer histogram accumulation over
+token arrays (order-invariant => byte-identical output for any sharding) and
+final TOC/byte assembly. Device-side histogram partials + psum are provided
+for fully on-device reduction (ac_histograms / psum_histograms).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constants as C
+from ..ops.pipeline_jax import analyze_groups_jax, _UINT_TOK_LUT
+
+
+def make_mesh(devices=None):
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), ("g",))
+
+
+def shard_groups(groups, yb_valid, xb_valid, mesh: Mesh):
+    """Pad G to a device multiple and device_put with group-axis sharding."""
+    n = mesh.devices.size
+    g = groups.shape[0]
+    pad = (-g) % n
+    if pad:
+        groups = np.concatenate([groups, np.zeros((pad,) + groups.shape[1:], groups.dtype)])
+        yb_valid = np.concatenate([yb_valid, np.zeros(pad, yb_valid.dtype)])
+        xb_valid = np.concatenate([xb_valid, np.zeros(pad, xb_valid.dtype)])
+    sh = NamedSharding(mesh, P("g"))
+    return (
+        jax.device_put(groups, sh),
+        jax.device_put(yb_valid, sh),
+        jax.device_put(xb_valid, sh),
+        g,
+    )
+
+
+def analyze_groups_sharded(groups, yb_valid, xb_valid, distp, mesh: Mesh):
+    """Run the batched pipeline with the group axis sharded over `mesh`.
+
+    All pipeline ops are per-group, so XLA partitions the whole program
+    without inserting collectives; outputs come back sharded the same way.
+    """
+    gshard, ybs, xbs, g = shard_groups(
+        np.asarray(groups), np.asarray(yb_valid), np.asarray(xb_valid), mesh
+    )
+    out = analyze_groups_jax(
+        gshard,
+        ybs,
+        xbs,
+        distance=float(distp.distance),
+        inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale),
+        scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+    )
+    return {k: np.asarray(v)[:g] for k, v in out.items()}
+
+
+def ac_histograms(tokens, counts):
+    """Device-side AC histogram partials: [G,32,32,3,64] tokens -> [1980, 64].
+
+    Integer scatter-add; summing partials across shards (psum) is
+    order-invariant, preserving byte-identical output for any mesh shape.
+    """
+    slot = jnp.arange(64)
+    valid = slot < counts[..., None]
+    ctx = (tokens >> 16).astype(jnp.int32)
+    val = (tokens & 0xFFFF).astype(jnp.int32)
+    tok = jnp.asarray(_UINT_TOK_LUT)[val]
+    flat = (ctx * C.ALPHABET_SIZE + tok).ravel()
+    hist = jnp.zeros(C.NUM_AC_CONTEXTS * C.ALPHABET_SIZE, jnp.uint32)
+    hist = hist.at[flat].add(valid.ravel().astype(jnp.uint32))
+    return hist.reshape(C.NUM_AC_CONTEXTS, C.ALPHABET_SIZE)

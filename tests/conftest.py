@@ -1,10 +1,14 @@
 import os
 
 # Multi-device tests run on a virtual CPU mesh; set up before jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
+# present; jax.config.update is authoritative.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
