@@ -26,9 +26,10 @@ class GroupResult:
     """Per-group analysis outputs (cropped to valid block dims)."""
 
     def __init__(self, gt, strategy, is_first, raw_qf, ytox, ytob, yb, xb):
-        self.tokens = gt.tokens[:yb, :xb]
-        self.counts = gt.counts[:yb, :xb]
-        self.quant_dc = gt.quant_dc[:, :yb, :xb]
+        if gt is not None:
+            self.tokens = gt.tokens[:yb, :xb]
+            self.counts = gt.counts[:yb, :xb]
+            self.quant_dc = gt.quant_dc[:, :yb, :xb]
         self.strategy = strategy[:yb, :xb]
         self.is_first = is_first[:yb, :xb]
         self.raw_qf = raw_qf[:yb, :xb]
@@ -100,7 +101,9 @@ def encode_image(img: np.ndarray, distance: float = 1.0, analyze_fn=None) -> byt
     return assemble_codestream(groups, dim, distp)
 
 
-def assemble_codestream(groups, dim: ImageDim, distp) -> bytes:
+def assemble_codestream(
+    groups, dim: ImageDim, distp, ac_ops=None, ac_histo=None
+) -> bytes:
     """Build sections, optimize entropy codes, pack the final codestream."""
     # --- DC group sections ---
     dc_ops = []
@@ -109,17 +112,21 @@ def assemble_codestream(groups, dim: ImageDim, distp) -> bytes:
             dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
 
     # --- AC group sections ---
-    ac_ops = []
-    for gy in range(dim.ysize_groups):
-        for gx in range(dim.xsize_groups):
-            g = groups[(gy, gx)]
-            ac_ops.append(
-                S.build_ac_group_section(g.tokens, g.counts, g.strategy, g.is_first)
-            )
+    if ac_ops is None:
+        ac_ops = []
+        for gy in range(dim.ysize_groups):
+            for gx in range(dim.xsize_groups):
+                g = groups[(gy, gx)]
+                ac_ops.append(
+                    S.build_ac_group_section(
+                        g.tokens, g.counts, g.strategy, g.is_first
+                    )
+                )
 
     # --- Two-pass entropy optimization (enc_frame.cc:846-850) ---
     dc_histo = S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS)
-    ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
+    if ac_histo is None:
+        ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
     dc_code = build_entropy_code(dc_histo)
     ac_code = build_entropy_code(ac_histo)
 
@@ -197,9 +204,17 @@ def _extract_all_groups(img, dim: ImageDim):
     return groups, yb, xb
 
 
-def encode_image_jax(img: np.ndarray, distance: float = 1.0, mesh=None) -> bytes:
+def encode_image_jax(
+    img: np.ndarray, distance: float = 1.0, mesh=None, fast=True, cap=16384
+) -> bytes:
     """Batched TPU path: all groups analyzed in one jitted (optionally
-    mesh-sharded) program, host packs the codestream."""
+    mesh-sharded) program, host packs the codestream.
+
+    fast=True keeps token arrays on device: only the compact emission-ordered
+    stream, AC histograms, and small per-block maps are transferred (the
+    device<->host link is the bottleneck in tunneled TPU setups). `cap` bounds
+    tokens per group; on overflow the encode falls back to the full cap.
+    """
     from .ref.group_np import GroupTokens
     from .parallel.sharding import analyze_groups_sharded, make_mesh
 
@@ -210,7 +225,22 @@ def encode_image_jax(img: np.ndarray, distance: float = 1.0, mesh=None) -> bytes
     groups_px, yb_arr, xb_arr = _extract_all_groups(img, dim)
     if mesh is None:
         mesh = make_mesh()
-    out = analyze_groups_sharded(groups_px, yb_arr, xb_arr, distp, mesh)
+    out = analyze_groups_sharded(
+        groups_px, yb_arr, xb_arr, distp, mesh, fast=fast, cap=cap
+    )
+    if fast and int(out["totals"].max(initial=0)) > cap:
+        out = analyze_groups_sharded(
+            groups_px, yb_arr, xb_arr, distp, mesh, fast=True, cap=3 * 64 * 1024
+        )
+
+    ac_ops = None
+    ac_histo = None
+    if fast:
+        ac_histo = out["ac_histogram"]
+        ac_ops = []
+        for i in range(dim.num_groups):
+            s = out["stream"][i, : int(out["totals"][i])]
+            ac_ops.append([("tokens", (s >> 16).astype(np.int64), s & 0xFFFF)])
 
     groups = {}
     i = 0
@@ -218,13 +248,16 @@ def encode_image_jax(img: np.ndarray, distance: float = 1.0, mesh=None) -> bytes
         for gx in range(dim.xsize_groups):
             yb, xb = int(yb_arr[i]), int(xb_arr[i])
             ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
-            gt = GroupTokens(
-                tokens=out["tokens"][i],
-                counts=out["counts"][i],
-                quant_dc=out["quant_dc"][i].astype(np.int16),
-                nzeros=None,
-            )
-            groups[(gy, gx)] = GroupResult(
+            if fast:
+                gt = None
+            else:
+                gt = GroupTokens(
+                    tokens=out["tokens"][i],
+                    counts=out["counts"][i],
+                    quant_dc=out["quant_dc"][i].astype(np.int16),
+                    nzeros=None,
+                )
+            gr = GroupResult(
                 gt,
                 out["strategy"][i].astype(np.uint8),
                 out["is_first"][i],
@@ -234,8 +267,11 @@ def encode_image_jax(img: np.ndarray, distance: float = 1.0, mesh=None) -> bytes
                 yb,
                 xb,
             )
+            if fast:
+                gr.quant_dc = out["quant_dc"][i][:, :yb, :xb]
+            groups[(gy, gx)] = gr
             i += 1
-    return assemble_codestream(groups, dim, distp)
+    return assemble_codestream(groups, dim, distp, ac_ops=ac_ops, ac_histo=ac_histo)
 
 
 def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):

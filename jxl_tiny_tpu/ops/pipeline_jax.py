@@ -59,6 +59,63 @@ def _uint_luts():
 _UINT_TOK_LUT, _UINT_NBITS_LUT = _uint_luts()
 
 
+def _zigzag_permutations():
+    """One-hot permutation matrices: ordered = quantized @ P (MXU-friendly
+    replacement for per-element gathers)."""
+    p8 = np.zeros((128, 128), np.float32)
+    order8 = np.concatenate([C.COEFF_ORDER8, 64 + np.arange(64)])
+    p8[order8, np.arange(128)] = 1.0
+    p16 = np.zeros((128, 128), np.float32)
+    p16[C.COEFF_ORDER16, np.arange(128)] = 1.0
+    return p8, p16
+
+
+_ZZ_P8, _ZZ_P16 = _zigzag_permutations()
+
+
+def _nnz_ctx_steps():
+    """COEFF_NNZ_CTX as a monotone step function: lut[x] = sum of deltas at
+    thresholds <= x (avoids a 64-entry gather with 50M indices)."""
+    lut = C.COEFF_NNZ_CTX.astype(np.int64).copy()
+    lut[0] = 0  # index 0 is never used (guarded by nzeros_left > 0)
+    deltas = np.diff(lut)
+    idx = np.nonzero(deltas)[0] + 1
+    return idx.astype(np.int32), deltas[idx - 1].astype(np.int32)
+
+
+_NNZ_THRESH, _NNZ_DELTA = _nnz_ctx_steps()
+
+# Static freq-context tables per covered_blocks (k is a static position).
+_FREQ_TAB = np.stack(
+    [
+        C.COEFF_FREQ_CTX[np.clip(np.arange(128) >> 0, 0, 63)],
+        C.COEFF_FREQ_CTX[np.clip(np.arange(128) >> 1, 0, 63)],
+    ]
+).astype(np.int32)  # [2, 128]
+
+# Block context per (strategy, channel): BLOCK_CTX_MAP[c, STRATEGY_CODE[s]].
+_BLOCK_CTX_TAB = np.stack(
+    [C.BLOCK_CTX_MAP[c, C.STRATEGY_CODE] for c in range(3)], axis=1
+).astype(np.int32)  # [strategy, channel]
+
+
+def _sel_by_strategy(strategy, t8, tv, th):
+    """Select per-cell among three constants (no gathers)."""
+    s = strategy[:, None, :, :, None]
+    return jnp.where(s == C.DCT8, t8, jnp.where(s == C.DCT16X8, tv, th))
+
+
+def _uint_token(v):
+    """Hybrid-uint token id + extra bit count, arithmetically (v < 2^16)."""
+    vi = v.astype(jnp.int32)
+    vf = jnp.maximum(vi, 16).astype(jnp.float32)
+    n = jnp.frexp(vf)[1] - 1  # floor(log2) exact for ints < 2^24
+    tok_big = (n << 2) + ((vi >> jnp.maximum(n - 2, 0)) & 3)
+    tok = jnp.where(vi < 16, vi, tok_big)
+    nbits = jnp.where(vi < 16, 0, n - 2)
+    return tok, nbits
+
+
 # ---------------------------------------------------------------------------
 # Shifts with edge clamping (pixel stencils)
 # ---------------------------------------------------------------------------
@@ -471,12 +528,19 @@ def encode_groups(
         st == C.DCT8, coef8p, jnp.where(st == C.DCT16X8, coef_v_exp, coef_h_exp)
     )
 
-    qm = jnp.asarray(_QM_TAB)[strategy].transpose(0, 3, 1, 2, 4)  # [G,3,32,32,128]
-    dqm = jnp.asarray(_DQM_TAB)[strategy].transpose(0, 3, 1, 2, 4)
-    thr = jnp.asarray(_THR_TAB)[strategy].transpose(0, 3, 1, 2, 4)
-    order = jnp.asarray(_ORDER_TAB)[strategy]  # [G,32,32,128]
+    def tab_sel(tab):  # [strategy, channel, 128] -> [G, 3, 32, 32, 128]
+        return _sel_by_strategy(
+            strategy,
+            jnp.asarray(tab[C.DCT8])[None, :, None, None, :],
+            jnp.asarray(tab[C.DCT16X8])[None, :, None, None, :],
+            jnp.asarray(tab[C.DCT8X16])[None, :, None, None, :],
+        )
 
-    covered = jnp.asarray(C.COVERED_X)[strategy] * jnp.asarray(C.COVERED_Y)[strategy]
+    qm = tab_sel(_QM_TAB)
+    dqm = tab_sel(_DQM_TAB)
+    thr = tab_sel(_THR_TAB)
+
+    covered = jnp.where(strategy == C.DCT8, 1, 2)
     quant = raw_qf.astype(F32)
     qac = scale * quant  # [G,32,32]
 
@@ -521,11 +585,17 @@ def encode_groups(
     quantized = jnp.stack([qx, qy, qb], axis=1)  # [G,3,32,32,128]
 
     # --- Tokenization ---
-    ordered = jnp.take_along_axis(
-        quantized, order[:, None].astype(jnp.int32), axis=-1
+    # Zig-zag reorder as one-hot matmuls (MXU) instead of per-element gathers.
+    qf32 = quantized.astype(F32)
+    o8 = jnp.einsum(
+        "...j,jk->...k", qf32, jnp.asarray(_ZZ_P8), precision=jax.lax.Precision.HIGHEST
     )
+    o16 = jnp.einsum(
+        "...j,jk->...k", qf32, jnp.asarray(_ZZ_P16), precision=jax.lax.Precision.HIGHEST
+    )
+    cov2 = (covered > 1)[:, None, :, :, None]  # [G,1,32,32,1]
+    ordered = jnp.where(cov2, o16, o8).astype(jnp.int32)
     size = covered * 64
-    log2_cb = (covered > 1).astype(jnp.int32)
     k_idx = jnp.arange(128)
     in_range = (k_idx >= covered[..., None]) & (k_idx < size[..., None])  # [G,32,32,128]
     nonzero = (ordered != 0) & in_range[:, None]
@@ -556,8 +626,14 @@ def encode_groups(
         ),
     )
 
-    strat_code = jnp.asarray(C.STRATEGY_CODE)[strategy]  # [G,32,32]
-    block_ctx = jnp.asarray(C.BLOCK_CTX_MAP)[:, strat_code].transpose(1, 0, 2, 3)
+    # Block context via 3-way select (no gathers).
+    bct = _BLOCK_CTX_TAB  # [strategy, channel]
+    block_ctx = _sel_by_strategy(
+        strategy,
+        jnp.asarray(bct[C.DCT8])[None, :, None, None, None],
+        jnp.asarray(bct[C.DCT16X8])[None, :, None, None, None],
+        jnp.asarray(bct[C.DCT8X16])[None, :, None, None, None],
+    )[..., 0]  # [G,3,32,32]
     nz_bucket = jnp.where(pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2))
     nzero_ctx = nz_bucket * C.NUM_BLOCK_CTXS + block_ctx  # [G,3,32,32]
 
@@ -570,12 +646,16 @@ def encode_groups(
     prev_init = (nzeros_total <= (size[:, None] >> 4)).astype(jnp.int32)
     prev = jnp.where(first_pos, prev_init[..., None], prev_nonzero)
 
+    # Zero-density context: COEFF_NNZ_CTX as a monotone step function and the
+    # position context from a static per-covered table — both gather-free.
     nzl_shift = -(-nz_left // jnp.maximum(covered[:, None, ..., None], 1))
-    k_shift = k_idx >> log2_cb[..., None]
-    zd_ctx = (
-        jnp.asarray(C.COEFF_NNZ_CTX)[jnp.clip(nzl_shift, 0, 63)]
-        + jnp.asarray(C.COEFF_FREQ_CTX)[jnp.clip(k_shift, 0, 63)][:, None]
-    ) * 2 + prev
+    nnz_part = jnp.zeros_like(nzl_shift)
+    for t, d in zip(_NNZ_THRESH.tolist(), _NNZ_DELTA.tolist()):
+        nnz_part = nnz_part + jnp.where(nzl_shift >= t, d, 0)
+    freq_part = jnp.where(
+        cov2, jnp.asarray(_FREQ_TAB[1]), jnp.asarray(_FREQ_TAB[0])
+    )  # [G,1,32,32,128]
+    zd_ctx = (nnz_part + freq_part) * 2 + prev
     zd_offset = (
         C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
         + C.ZERO_DENSITY_CONTEXT_COUNT * block_ctx
@@ -586,26 +666,34 @@ def encode_groups(
     coeff_val = _pack_signed(ordered)
 
     # Fixed-layout token array: slot 0 = nzeros token, slot t>=1 = order
-    # position covered + t - 1.
-    slot_src = jnp.minimum(k_idx + covered[..., None] - 1, 127)  # [G,32,32,128]
-    src = slot_src[:, None].astype(jnp.int32)
-    ctx_g = jnp.take_along_axis(coeff_ctx, src, axis=-1)
-    val_g = jnp.take_along_axis(coeff_val, src, axis=-1)
-    valid_g = jnp.take_along_axis(tok_valid, src, axis=-1)
-    valid_g = valid_g.at[..., 0].set(False)
+    # position covered + t - 1. The source shift is 0 (covered=1) or 1
+    # (covered=2): a static slice select, not a gather.
+    def shift_sel(a, fill):
+        sh = jnp.concatenate([a[..., 1:], jnp.full_like(a[..., :1], fill)], -1)
+        return jnp.where(cov2, sh, a)
 
-    tokens_full = jnp.where(
-        valid_g, (ctx_g.astype(jnp.uint32) << 16) | val_g.astype(jnp.uint32), 0
-    )
-    tokens_full = tokens_full.at[..., 0].set(
-        (nzero_ctx.astype(jnp.uint32) << 16) | nzeros_total.astype(jnp.uint32)
-    )
+    ctx_g = shift_sel(coeff_ctx, 0)
+    val_g = shift_sel(coeff_val, 0)
+    valid_g = shift_sel(tok_valid, False)
+    slot0_off = jnp.zeros((128,), bool).at[0].set(True)
+    valid_g = valid_g & ~slot0_off
+
+    packed = (ctx_g.astype(jnp.uint32) << 16) | val_g.astype(jnp.uint32)
+    nz_token = (nzero_ctx.astype(jnp.uint32) << 16) | nzeros_total.astype(jnp.uint32)
+    tokens_full = jnp.where(valid_g, packed, 0)
+    tokens_full = jnp.where(slot0_off, nz_token[..., None], tokens_full)
     slot_idx = jnp.arange(128)
     last_valid = jnp.max(
         jnp.where(valid_g, slot_idx, 0), axis=-1
     )  # 0 when no coeff tokens
     count_full = jnp.where(first[:, None], 1 + last_valid, 0)  # [G,3,32,32]
+    return tokens_full, count_full, quant_dc, nz_map
 
+
+def split_token_cells(tokens_full, count_full, strategy, is_first, valid):
+    """Per-cell 64-slot token layout (the numpy golden model's output form;
+    used by the host-compatible path and the tests)."""
+    first = is_first & valid
     tf = tokens_full.transpose(0, 2, 3, 1, 4)  # [G,32,32,3,128]
     cf = count_full.transpose(0, 2, 3, 1)  # [G,32,32,3]
     vfirst = first & (strategy == C.DCT16X8)
@@ -624,7 +712,49 @@ def encode_groups(
     counts = jnp.where(
         sec_h[..., None], jnp.maximum(_shift0(cf, -1, 2) - 64, 0), counts
     )
-    return tokens, counts, quant_dc, nz_map
+    return tokens, counts
+
+
+def compact_token_stream(tokens_full, count_full, cap):
+    """Emission-ordered per-group token stream, on device.
+
+    tokens_full: [G,3,32,32,128] u32; count_full: [G,3,32,32].
+    Returns (stream [G, cap] u32, totals [G] i32). Order matches the
+    reference's WriteACGroup emission: raster over first cells, channels
+    Y, X, B, the transform's full token sequence per channel. Tokens never
+    leave the device in their fat layout — only this compact stream does.
+    """
+    g = tokens_full.shape[0]
+    # Emission-ordered count matrix: [G, cell, channel(Y,X,B)].
+    cf = count_full[:, jnp.array([1, 0, 2])].transpose(0, 2, 3, 1).reshape(g, -1)
+    offsets = jnp.cumsum(cf, axis=1) - cf  # exclusive
+    totals = cf.sum(axis=1).astype(jnp.int32)
+    off = offsets.reshape(g, 32, 32, 3).transpose(0, 3, 1, 2)  # [G,3(Y,X,B),32,32]
+    # Back to channel order (X,Y,B) to align with tokens_full.
+    off = off[:, jnp.array([1, 0, 2])]
+    t_idx = jnp.arange(128)
+    dest = off[..., None] + t_idx  # [G,3,32,32,128]
+    tok_ok = t_idx < count_full[..., None]
+    dest = jnp.where(tok_ok, dest, cap)  # out-of-range -> dropped
+    gi = jnp.arange(g).reshape(g, 1, 1, 1, 1)
+    flat = (gi * (cap + 1) + jnp.minimum(dest, cap)).ravel()
+    stream = jnp.zeros(g * (cap + 1), jnp.uint32)
+    stream = stream.at[flat].max(tokens_full.ravel(), mode="drop")
+    return stream.reshape(g, cap + 1)[:, :cap], totals
+
+
+def token_histogram(tokens_full, count_full):
+    """[G,3,32,32,128] tokens -> AC histogram [1980, 64] u32 (order-invariant
+    integer sum => identical for any sharding)."""
+    t_idx = jnp.arange(128)
+    valid = t_idx < count_full[..., None]
+    ctx = (tokens_full >> 16).astype(jnp.int32)
+    val = (tokens_full & 0xFFFF).astype(jnp.int32)
+    tok, _ = _uint_token(val)
+    flat = (ctx * C.ALPHABET_SIZE + tok).ravel()
+    hist = jnp.zeros(C.NUM_AC_CONTEXTS * C.ALPHABET_SIZE, jnp.uint32)
+    hist = hist.at[flat].add(valid.ravel().astype(jnp.uint32), mode="drop")
+    return hist.reshape(C.NUM_AC_CONTEXTS, C.ALPHABET_SIZE)
 
 
 def _pack_signed(v):
@@ -666,7 +796,7 @@ def analyze_groups_jax(
         xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
     )
     raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
-    tokens, counts, quant_dc, nz_map = encode_groups(
+    tokens_full, count_full, quant_dc, nz_map = encode_groups(
         xyb,
         coef8,
         coef_v,
@@ -681,6 +811,9 @@ def analyze_groups_jax(
         x_qm_mul,
         valid,
     )
+    tokens, counts = split_token_cells(
+        tokens_full, count_full, strategy, is_first, valid
+    )
     return dict(
         tokens=tokens,
         counts=counts,
@@ -690,6 +823,67 @@ def analyze_groups_jax(
         raw_qf=raw_qf,
         ytox=ytox,
         ytob=ytob,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "distance",
+        "inv_scale",
+        "scale",
+        "scale_dc",
+        "x_qm_mul",
+        "cap",
+    ),
+)
+def analyze_groups_fast(
+    groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+):
+    """Transfer-lean variant: tokens stay on device; outputs are the compact
+    emission-ordered stream, AC histograms, and the small per-block maps."""
+    g = groups.shape[0]
+    xyb = to_xyb(groups)
+    qf, masking, raw_qf = adaptive_quant_field(xyb, distance, inv_scale)
+    blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef8 = dct2d(blocks8, 8, 8)
+    by_i = jnp.arange(32)[:, None]
+    bx_i = jnp.arange(32)[None, :]
+    valid = (by_i[None] < yb_valid[:, None, None]) & (
+        bx_i[None] < xb_valid[:, None, None]
+    )
+    ytox, ytob = compute_cmap(coef8, valid)
+    strategy, is_first, coef_v, coef_h = compute_ac_strategy(
+        xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
+    )
+    raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
+    tokens_full, count_full, quant_dc, _ = encode_groups(
+        xyb,
+        coef8,
+        coef_v,
+        coef_h,
+        strategy,
+        is_first,
+        raw_qf,
+        ytox,
+        ytob,
+        scale,
+        scale_dc,
+        x_qm_mul,
+        valid,
+    )
+    stream, totals = compact_token_stream(tokens_full, count_full, cap)
+    hist = token_histogram(tokens_full, count_full)
+    return dict(
+        stream=stream,
+        totals=totals,
+        ac_histogram=hist,
+        quant_dc=quant_dc.astype(jnp.int16),
+        strategy=strategy.astype(jnp.uint8),
+        is_first=is_first,
+        raw_qf=raw_qf.astype(jnp.uint8),
+        ytox=ytox.astype(jnp.int8),
+        ytob=ytob.astype(jnp.int8),
     )
 
 

@@ -42,26 +42,37 @@ def shard_groups(groups, yb_valid, xb_valid, mesh: Mesh):
     )
 
 
-def analyze_groups_sharded(groups, yb_valid, xb_valid, distp, mesh: Mesh):
+def analyze_groups_sharded(
+    groups, yb_valid, xb_valid, distp, mesh: Mesh, fast=False, cap=16384
+):
     """Run the batched pipeline with the group axis sharded over `mesh`.
 
     All pipeline ops are per-group, so XLA partitions the whole program
-    without inserting collectives; outputs come back sharded the same way.
+    without inserting collectives (except, in the fast path, the all-reduce
+    of the AC histogram — an order-invariant integer sum); outputs come back
+    sharded the same way.
     """
+    from ..ops.pipeline_jax import analyze_groups_fast
+
     gshard, ybs, xbs, g = shard_groups(
         np.asarray(groups), np.asarray(yb_valid), np.asarray(xb_valid), mesh
     )
-    out = analyze_groups_jax(
-        gshard,
-        ybs,
-        xbs,
+    kwargs = dict(
         distance=float(distp.distance),
         inv_scale=float(distp.inv_scale),
         scale=float(distp.scale),
         scale_dc=float(distp.scale_dc),
         x_qm_mul=float(distp.x_qm_mul),
     )
-    return {k: np.asarray(v)[:g] for k, v in out.items()}
+    if fast:
+        out = analyze_groups_fast(gshard, ybs, xbs, cap=cap, **kwargs)
+    else:
+        out = analyze_groups_jax(gshard, ybs, xbs, **kwargs)
+    res = {}
+    for k, v in out.items():
+        v = np.asarray(v)
+        res[k] = v if k == "ac_histogram" else v[:g]
+    return res
 
 
 def ac_histograms(tokens, counts):
