@@ -59,8 +59,17 @@ class BitWriter:
     def to_bytes(self) -> bytes:
         if not self._chunks:
             return b""
-        nbits = np.concatenate([c[0] for c in self._chunks]).astype(np.int64)
+        nbits = np.concatenate([c[0] for c in self._chunks])
         values = np.concatenate([c[1] for c in self._chunks])
+        from ..cpp import have_native
+
+        if have_native():
+            from ..cpp.build import pack_bits_native
+
+            data, total = pack_bits_native(nbits, values)
+            assert total == self._bits_written
+            return data
+        nbits = nbits.astype(np.int64)
         pos = np.zeros(nbits.size, np.int64)
         np.cumsum(nbits[:-1], out=pos[1:])
         total_bits = int(pos[-1] + nbits[-1]) if nbits.size else 0

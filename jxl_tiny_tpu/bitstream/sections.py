@@ -331,14 +331,69 @@ def histogram_sections(section_ops_list, num_contexts):
                 _, ctx, val = op
                 tok, _, _ = uint_encode(val)
                 np.add.at(histo, (ctx, tok), 1)
+            elif op[0] == "stream":
+                s = op[1]
+                tok, _, _ = uint_encode(s & 0xFFFF)
+                np.add.at(histo, ((s >> 16).astype(np.int64), tok), 1)
     return histo
 
 
+def _op_stream_u32(op):
+    if op[0] == "stream":
+        return np.ascontiguousarray(op[1], np.uint32)
+    _, ctx, val = op
+    assert int(val.max(initial=0)) <= 0xFFFF, "token value exceeds 16 bits"
+    return ((ctx.astype(np.uint32) << 16) | val.astype(np.uint32)).astype(np.uint32)
+
+
 def serialize_section(ops, code: EntropyCode) -> BitWriter:
+    from ..cpp import get_lib
+
+    lib = get_lib()
     w = BitWriter()
+    if lib is not None:
+        n_tok = sum(
+            len(op[1]) for op in ops if op[0] in ("tokens", "stream")
+        )
+        raw_bits = sum(op[1] for op in ops if op[0] == "bits")
+        out = np.zeros((28 * n_tok + raw_bits) // 8 + 16, np.uint8)
+        pos = 0
+        cmap = np.ascontiguousarray(code.context_map, np.uint8)
+        tdep = np.ascontiguousarray(code.token_depths, np.uint8)
+        sbits = np.ascontiguousarray(code.bits, np.uint16)
+        for op in ops:
+            if op[0] == "bits":
+                # Rare per section; inline put.
+                word = int.from_bytes(out[pos >> 3 : (pos >> 3) + 8], "little")
+                word |= op[2] << (pos & 7)
+                out[pos >> 3 : (pos >> 3) + 8] = np.frombuffer(
+                    word.to_bytes(8, "little"), np.uint8
+                )
+                pos += op[1]
+            else:
+                s = _op_stream_u32(op)
+                pos = lib.pack_tokens(
+                    s.ctypes.data,
+                    len(s),
+                    cmap.ctypes.data,
+                    tdep.ctypes.data,
+                    sbits.ctypes.data,
+                    pos,
+                    out.ctypes.data,
+                )
+        nbytes = (pos + 7) // 8
+        full = pos // 8
+        arr = out[:full].astype(np.uint64)
+        w.write_arrays(np.full(full, 8, np.uint8), arr)
+        if pos & 7:
+            w.write(pos & 7, int(out[full]) & ((1 << (pos & 7)) - 1))
+        return w
     for op in ops:
         if op[0] == "bits":
             w.write(op[1], op[2])
+        elif op[0] == "stream":
+            s = op[1]
+            write_tokens((s >> 16).astype(np.int64), s & 0xFFFF, code, w)
         else:
             _, ctx, val = op
             write_tokens(ctx, val, code, w)

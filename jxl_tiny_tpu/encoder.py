@@ -151,6 +151,21 @@ def assemble_codestream(
     return out.to_bytes()
 
 
+def _ac_histogram_host(ac_ops):
+    """AC histograms from compact streams (C++ fast path, numpy fallback)."""
+    from .cpp import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
+    hist = np.zeros((C.NUM_AC_CONTEXTS, C.ALPHABET_SIZE), np.uint32)
+    for ops in ac_ops:
+        for op in ops:
+            s = np.ascontiguousarray(op[1], np.uint32)
+            lib.histogram_tokens(s.ctypes.data, len(s), hist.ctypes.data)
+    return hist
+
+
 def _build_dc_group(groups, dim: ImageDim, dgy, dgx):
     """Assemble per-DC-group maps from member groups and build its section ops."""
     ydb = div_ceil(min(2048, dim.ysize - dgy * 2048), 8)
@@ -205,7 +220,12 @@ def _extract_all_groups(img, dim: ImageDim):
 
 
 def encode_image_jax(
-    img: np.ndarray, distance: float = 1.0, mesh=None, fast=True, cap=16384
+    img: np.ndarray,
+    distance: float = 1.0,
+    mesh=None,
+    fast=True,
+    cap=16384,
+    upload_dtype=None,
 ) -> bytes:
     """Batched TPU path: all groups analyzed in one jitted (optionally
     mesh-sharded) program, host packs the codestream.
@@ -222,25 +242,61 @@ def encode_image_jax(
     distance = clamp_distance(distance)
     distp = compute_distance_params(distance)
     dim = ImageDim(img.shape[2], img.shape[1])
-    groups_px, yb_arr, xb_arr = _extract_all_groups(img, dim)
     if mesh is None:
         mesh = make_mesh()
-    out = analyze_groups_sharded(
-        groups_px, yb_arr, xb_arr, distp, mesh, fast=fast, cap=cap
-    )
-    if fast and int(out["totals"].max(initial=0)) > cap:
+
+    yb_arr = np.empty(dim.num_groups, np.int32)
+    xb_arr = np.empty(dim.num_groups, np.int32)
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb_arr[i] = div_ceil(min(256, img.shape[1] - gy * 256), 8)
+            xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
+            i += 1
+
+    if fast and mesh.devices.size == 1:
+        # Whole-image upload; tiling happens on device (halves host work and
+        # avoids materializing the padded group batch host-side).
+        from .ops.pipeline_jax import analyze_image_fast
+        import jax.numpy as jnp
+
+        up = img if upload_dtype is None else img.astype(upload_dtype)
+
+        def run(c):
+            out = analyze_image_fast(
+                jnp.asarray(up),
+                jnp.asarray(yb_arr),
+                jnp.asarray(xb_arr),
+                distance=float(distp.distance),
+                inv_scale=float(distp.inv_scale),
+                scale=float(distp.scale),
+                scale_dc=float(distp.scale_dc),
+                x_qm_mul=float(distp.x_qm_mul),
+                cap=c,
+            )
+            return {k: np.asarray(v) for k, v in out.items()}
+
+        out = run(cap)
+        if int(out["totals"].max(initial=0)) > cap:
+            out = run(3 * 64 * 1024)
+    else:
+        groups_px, yb_arr, xb_arr = _extract_all_groups(img, dim)
         out = analyze_groups_sharded(
-            groups_px, yb_arr, xb_arr, distp, mesh, fast=True, cap=3 * 64 * 1024
+            groups_px, yb_arr, xb_arr, distp, mesh, fast=fast, cap=cap
         )
+        if fast and int(out["totals"].max(initial=0)) > cap:
+            out = analyze_groups_sharded(
+                groups_px, yb_arr, xb_arr, distp, mesh, fast=True, cap=3 * 64 * 1024
+            )
 
     ac_ops = None
     ac_histo = None
     if fast:
-        ac_histo = out["ac_histogram"]
         ac_ops = []
         for i in range(dim.num_groups):
             s = out["stream"][i, : int(out["totals"][i])]
-            ac_ops.append([("tokens", (s >> 16).astype(np.int64), s & 0xFFFF)])
+            ac_ops.append([("stream", s)])
+        ac_histo = _ac_histogram_host(ac_ops)
 
     groups = {}
     i = 0

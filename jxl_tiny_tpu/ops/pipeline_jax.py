@@ -721,26 +721,30 @@ def compact_token_stream(tokens_full, count_full, cap):
     tokens_full: [G,3,32,32,128] u32; count_full: [G,3,32,32].
     Returns (stream [G, cap] u32, totals [G] i32). Order matches the
     reference's WriteACGroup emission: raster over first cells, channels
-    Y, X, B, the transform's full token sequence per channel. Tokens never
-    leave the device in their fat layout — only this compact stream does.
+    Y, X, B, the transform's full token sequence per channel.
+
+    Implemented as the *inverse* mapping (for each output position, binary-
+    search the owning run and gather) — cap-many gathers instead of a
+    54M-element scatter, which XLA serializes catastrophically on TPU.
+    Tokens never leave the device in their fat layout — only this stream does.
     """
     g = tokens_full.shape[0]
-    # Emission-ordered count matrix: [G, cell, channel(Y,X,B)].
-    cf = count_full[:, jnp.array([1, 0, 2])].transpose(0, 2, 3, 1).reshape(g, -1)
-    offsets = jnp.cumsum(cf, axis=1) - cf  # exclusive
-    totals = cf.sum(axis=1).astype(jnp.int32)
-    off = offsets.reshape(g, 32, 32, 3).transpose(0, 3, 1, 2)  # [G,3(Y,X,B),32,32]
-    # Back to channel order (X,Y,B) to align with tokens_full.
-    off = off[:, jnp.array([1, 0, 2])]
-    t_idx = jnp.arange(128)
-    dest = off[..., None] + t_idx  # [G,3,32,32,128]
-    tok_ok = t_idx < count_full[..., None]
-    dest = jnp.where(tok_ok, dest, cap)  # out-of-range -> dropped
-    gi = jnp.arange(g).reshape(g, 1, 1, 1, 1)
-    flat = (gi * (cap + 1) + jnp.minimum(dest, cap)).ravel()
-    stream = jnp.zeros(g * (cap + 1), jnp.uint32)
-    stream = stream.at[flat].max(tokens_full.ravel(), mode="drop")
-    return stream.reshape(g, cap + 1)[:, :cap], totals
+    chan = jnp.array([1, 0, 2])  # emission channel order Y, X, B
+    rows_tok = (
+        tokens_full[:, chan].transpose(0, 2, 3, 1, 4).reshape(g, 32 * 32 * 3, 128)
+    )
+    rows_cnt = count_full[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
+    ends = jnp.cumsum(rows_cnt, axis=1)
+    totals = ends[:, -1].astype(jnp.int32)
+    starts = ends - rows_cnt
+    pos = jnp.arange(cap)
+    r = jax.vmap(lambda e: jnp.searchsorted(e, pos, side="right"))(ends)
+    r = jnp.minimum(r, rows_cnt.shape[1] - 1)
+    slot = pos[None, :] - jnp.take_along_axis(starts, r, axis=1)
+    slot = jnp.clip(slot, 0, 127)
+    val = jnp.take_along_axis(rows_tok.reshape(g, -1), r * 128 + slot, axis=1)
+    stream = jnp.where(pos[None, :] < totals[:, None], val, 0)
+    return stream, totals
 
 
 def token_histogram(tokens_full, count_full):
@@ -826,6 +830,35 @@ def analyze_groups_jax(
     )
 
 
+def extract_groups_device(image):
+    """[3, H, W] -> [G, 3, 256, 256] edge-replicated group tiles, on device.
+
+    Matches CopyAndPadImage semantics (enc_frame.cc:597-617): padding pixels
+    replicate the last valid row/column.
+    """
+    _, h, w = image.shape
+    gh = -(-h // 256) * 256
+    gw = -(-w // 256) * 256
+    image = image.astype(F32)  # f16 uploads are converted on device
+    img = jnp.pad(image, ((0, 0), (0, gh - h), (0, gw - w)), mode="edge")
+    img = img.reshape(3, gh // 256, 256, gw // 256, 256)
+    return img.transpose(1, 3, 0, 2, 4).reshape(-1, 3, 256, 256)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("distance", "inv_scale", "scale", "scale_dc", "x_qm_mul", "cap"),
+)
+def analyze_image_fast(
+    image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+):
+    """Whole-image fast path: tiling happens on device; upload only [3,H,W]."""
+    groups = extract_groups_device(image)
+    return _analyze_groups_fast_impl(
+        groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -842,7 +875,16 @@ def analyze_groups_fast(
 ):
     """Transfer-lean variant: tokens stay on device; outputs are the compact
     emission-ordered stream, AC histograms, and the small per-block maps."""
+    return _analyze_groups_fast_impl(
+        groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+    )
+
+
+def _analyze_groups_fast_impl(
+    groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+):
     g = groups.shape[0]
+    groups = groups.astype(F32)
     xyb = to_xyb(groups)
     qf, masking, raw_qf = adaptive_quant_field(xyb, distance, inv_scale)
     blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
@@ -873,11 +915,9 @@ def analyze_groups_fast(
         valid,
     )
     stream, totals = compact_token_stream(tokens_full, count_full, cap)
-    hist = token_histogram(tokens_full, count_full)
     return dict(
         stream=stream,
         totals=totals,
-        ac_histogram=hist,
         quant_dc=quant_dc.astype(jnp.int16),
         strategy=strategy.astype(jnp.uint8),
         is_first=is_first,
