@@ -1,0 +1,60 @@
+"""Command line interface, argument-compatible with the reference cjxl_tiny
+(encoder/cjxl_main.cc:49-101): cjxl_tiny_tpu <input.pfm> <output.jxl> [-d D].
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="cjxl_tiny_tpu",
+        description="TPU-native JPEG XL encoder (VarDCT, photographic)",
+    )
+    p.add_argument("input", help="input PFM (linear sRGB float)")
+    p.add_argument("output", help="output .jxl")
+    p.add_argument("-d", "--distance", type=float, default=1.0,
+                   help="Butteraugli distance target (default 1.0)")
+    p.add_argument("--pipeline", choices=("tpu", "numpy"), default="tpu",
+                   help="analysis pipeline backend")
+    p.add_argument("--f16-upload", action="store_true",
+                   help="upload pixels as float16 (halves host->device bytes)")
+    p.add_argument("-q", "--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from .io.pfm import read_pfm
+
+    img = read_pfm(args.input)
+    if not args.quiet:
+        print(f"Read {img.shape[2]}x{img.shape[1]} pixels input image.",
+              file=sys.stderr)
+    t = time.time()
+    if args.pipeline == "tpu":
+        from .encoder import encode_image_jax
+
+        data = encode_image_jax(
+            img,
+            args.distance,
+            upload_dtype=np.float16 if args.f16_upload else None,
+        )
+    else:
+        from .encoder import encode_image
+
+        data = encode_image(img, args.distance)
+    dt = time.time() - t
+    with open(args.output, "wb") as f:
+        f.write(data)
+    if not args.quiet:
+        mp = img.shape[1] * img.shape[2] / 1e6
+        print(
+            f"Compressed to {len(data)} bytes ({8*len(data)/(1e6*mp):.3f} bpp) "
+            f"in {dt:.2f}s ({mp/dt:.1f} MP/s).",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
