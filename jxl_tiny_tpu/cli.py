@@ -17,10 +17,17 @@ def main(argv=None):
     p.add_argument("output", help="output .jxl")
     p.add_argument("-d", "--distance", type=float, default=1.0,
                    help="Butteraugli distance target (default 1.0)")
-    p.add_argument("--pipeline", choices=("tpu", "numpy"), default="tpu",
-                   help="analysis pipeline backend")
-    p.add_argument("--f16-upload", action="store_true",
-                   help="upload pixels as float16 (halves host->device bytes)")
+    p.add_argument(
+        "--pipeline",
+        choices=("device", "tpu", "numpy"),
+        default="device",
+        help="analysis backend: device = TPU analysis + on-device entropy "
+        "packing (flagship), tpu = TPU analysis + host packing, numpy = "
+        "host golden model",
+    )
+    p.add_argument("--f32-upload", action="store_true",
+                   help="upload pixels as float32 (default float16; the "
+                   "lossy encode masks f16 ingest error)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -30,15 +37,16 @@ def main(argv=None):
     if not args.quiet:
         print(f"Read {img.shape[2]}x{img.shape[1]} pixels input image.",
               file=sys.stderr)
+    upload = None if args.f32_upload else np.float16
     t = time.time()
-    if args.pipeline == "tpu":
+    if args.pipeline == "device":
+        from .encoder import encode_image_device
+
+        data = encode_image_device(img, args.distance, upload_dtype=upload)
+    elif args.pipeline == "tpu":
         from .encoder import encode_image_jax
 
-        data = encode_image_jax(
-            img,
-            args.distance,
-            upload_dtype=np.float16 if args.f16_upload else None,
-        )
+        data = encode_image_jax(img, args.distance, upload_dtype=upload)
     else:
         from .encoder import encode_image
 

@@ -102,9 +102,19 @@ def encode_image(img: np.ndarray, distance: float = 1.0, analyze_fn=None) -> byt
 
 
 def assemble_codestream(
-    groups, dim: ImageDim, distp, ac_ops=None, ac_histo=None
+    groups,
+    dim: ImageDim,
+    distp,
+    ac_ops=None,
+    ac_histo=None,
+    ac_writers=None,
+    ac_code=None,
 ) -> bytes:
-    """Build sections, optimize entropy codes, pack the final codestream."""
+    """Build sections, optimize entropy codes, pack the final codestream.
+
+    ac_writers/ac_code: pre-serialized AC group sections + their entropy code
+    (the device-packed path, ops.pack_kernels) — AC histogramming and token
+    packing are skipped."""
     # --- DC group sections ---
     dc_ops = []
     for dgy in range(dim.ysize_dc_groups):
@@ -112,7 +122,7 @@ def assemble_codestream(
             dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
 
     # --- AC group sections ---
-    if ac_ops is None:
+    if ac_ops is None and ac_writers is None:
         ac_ops = []
         for gy in range(dim.ysize_groups):
             for gx in range(dim.xsize_groups):
@@ -125,10 +135,11 @@ def assemble_codestream(
 
     # --- Two-pass entropy optimization (enc_frame.cc:846-850) ---
     dc_histo = S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS)
-    if ac_histo is None:
-        ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
     dc_code = build_entropy_code(dc_histo)
-    ac_code = build_entropy_code(ac_histo)
+    if ac_code is None:
+        if ac_histo is None:
+            ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
+        ac_code = build_entropy_code(ac_histo)
 
     # --- Serialize sections in stream order ---
     sections = []
@@ -140,8 +151,11 @@ def assemble_codestream(
     w = BitWriter()
     S.write_ac_global(w, dim.num_groups, ac_code)
     sections.append(w)
-    for ops in ac_ops:
-        sections.append(S.serialize_section(ops, ac_code))
+    if ac_writers is not None:
+        sections.extend(ac_writers)
+    else:
+        for ops in ac_ops:
+            sections.append(S.serialize_section(ops, ac_code))
 
     # --- Final assembly ---
     out = BitWriter()
@@ -328,6 +342,154 @@ def encode_image_jax(
             groups[(gy, gx)] = gr
             i += 1
     return assemble_codestream(groups, dim, distp, ac_ops=ac_ops, ac_histo=ac_histo)
+
+
+def _writer_from_bits(raw_bytes: np.ndarray, nbits: int) -> BitWriter:
+    """BitWriter holding `nbits` bits whose byte image is raw_bytes (LSB
+    first). Trailing bits of the final partial byte are zeroed (JXL section
+    padding must be zero; the device packer leaves garbage past `nbits`)."""
+    w = BitWriter()
+    full = nbits // 8
+    if full:
+        w.write_arrays(
+            np.full(full, 8, np.uint8), raw_bytes[:full].astype(np.uint64)
+        )
+    rem = nbits & 7
+    if rem:
+        w.write(rem, int(raw_bytes[full]) & ((1 << rem) - 1))
+    return w
+
+
+_CAP_BUCKETS = (32768, 65536, 131072, 262144)
+
+
+def _next_bucket(buckets, value):
+    for b in buckets:
+        if value <= b:
+            return b
+    raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
+
+
+def encode_image_device(
+    img: np.ndarray,
+    distance: float = 1.0,
+    upload_dtype=np.float16,
+    cap: int = 32768,
+    ow: int = 8192,
+) -> bytes:
+    """Flagship single-chip path: AC sections are entropy-packed on device
+    (ops.pack_kernels); only histograms, per-group maps, and the final
+    compressed bytes cross the device<->host link.
+
+    Orchestration (two device programs + tiny host stage in between) mirrors
+    the reference's two-pass OptimizeSections scheme (enc_frame.cc:765-802).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .ops.pipeline_jax import analyze_image_packed, unpack_meta_u8
+    from .ops.pack_kernels import pack_ac_sections, ac_base64_map
+    from .entropy.entropy_write import build_ac_device_code
+
+    assert img.ndim == 3 and img.shape[0] == 3
+    distance = clamp_distance(distance)
+    distp = compute_distance_params(distance)
+    dim = ImageDim(img.shape[2], img.shape[1])
+    g = dim.num_groups
+
+    yb_arr = np.empty(g, np.int32)
+    xb_arr = np.empty(g, np.int32)
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb_arr[i] = div_ceil(min(256, img.shape[1] - gy * 256), 8)
+            xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
+            i += 1
+
+    up = img if upload_dtype is None else img.astype(upload_dtype)
+    kwargs = dict(
+        distance=float(distp.distance),
+        inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale),
+        scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+    )
+
+    def run_a(c):
+        return analyze_image_packed(
+            jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr), cap=c, **kwargs
+        )
+
+    out_a = run_a(cap)
+    totals = np.asarray(out_a["totals"])
+    max_total = int(totals.max(initial=0))
+    if max_total > cap:
+        cap = _next_bucket(_CAP_BUCKETS, max_total)
+        out_a = run_a(cap)
+        totals = np.asarray(out_a["totals"])
+    hist = np.asarray(out_a["hist"])
+    meta = unpack_meta_u8(np.asarray(out_a["meta"]))
+
+    full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+
+    # Program B: pack AC sections on device. wcap sized for worst-case
+    # alignment slack; the [1, wcap] output block must fit VMEM, so huge
+    # images fall back to downloading the per-group padded buffers.
+    stream = out_a["stream"][:, :cap]
+    totals_d = out_a["totals"]
+    d_dev = jnp.asarray(d_table)
+    wcap = min(
+        1 << (int(g * ow)).bit_length(), 2 * 1024 * 1024
+    )
+    while True:
+        out_b = pack_ac_sections(stream, totals_d, d_dev, ow=ow, wcap=wcap)
+        bits = np.asarray(out_b["bits"])
+        if int(bits.max(initial=0)) <= ow * 32 - 32:
+            break
+        ow = _next_bucket((8192, 32768, 131072), (int(bits.max()) + 31) // 32)
+    offs = np.asarray(out_b["word_offs"])
+    nblk = (bits + (32 * 128 - 1)) // (32 * 128)
+    used = int(offs[-1] + nblk[-1] * 128)
+    if used <= wcap:
+        dl = min(wcap, -(-used // 65536) * 65536)
+        words = np.asarray(out_b["words"][:dl])
+        word_rows = [
+            words[offs[k] : offs[k] + (bits[k] + 31) // 32] for k in range(g)
+        ]
+    else:  # overflow of the single compaction buffer: padded per-group dl
+        packed = np.asarray(out_b["words"])  # full buffer, truncated sections
+        raise NotImplementedError(
+            "wcap overflow: image too large for single-buffer section "
+            "compaction; use encode_image_jax"
+        )
+
+    ac_writers = []
+    for k in range(g):
+        ac_writers.append(
+            _writer_from_bits(word_rows[k].view(np.uint8), int(bits[k]))
+        )
+
+    groups = {}
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb, xb = int(yb_arr[i]), int(xb_arr[i])
+            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+            gr = GroupResult(
+                None,
+                meta["strategy"][i],
+                meta["is_first"][i],
+                meta["raw_qf"][i],
+                meta["ytox"][i, :ty, :tx],
+                meta["ytob"][i, :ty, :tx],
+                yb,
+                xb,
+            )
+            gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
+            groups[(gy, gx)] = gr
+            i += 1
+    return assemble_codestream(
+        groups, dim, distp, ac_writers=ac_writers, ac_code=full_code
+    )
 
 
 def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):

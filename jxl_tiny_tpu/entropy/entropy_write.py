@@ -314,6 +314,36 @@ def write_context_map(code: EntropyCode, writer):
     write_tokens(np.zeros(len(values), np.int64), values, nested, writer)
 
 
+def build_ac_device_code(hist64: np.ndarray, base_map: np.ndarray):
+    """Entropy code for the device-packed AC path.
+
+    hist64: [64, 64] token histograms at base-cluster resolution (the device's
+    structured 1980->64 pre-clustering, pack_kernels.ac_base64_map);
+    base_map: [NUM_AC_CONTEXTS] u8 that pre-clustering map.
+
+    Returns (full_code, d_table): `full_code` is the EntropyCode over the full
+    context space (context map = final clustering composed with base_map) for
+    ACGlobal serialization; `d_table` is the [64, 64] f32 device table with
+    entry depth*65536 + canonical code bits (exact in f32, < 2^21), indexed by
+    (base_ctx, token). Mirrors the reference's two-stage scheme
+    (enc_frame.cc:768-782 + enc_entropy_code.cc:504-514) with the base stage
+    computed arithmetically on device.
+    """
+    code = build_entropy_code(hist64)
+    full_map = code.context_map[np.asarray(base_map, np.int64)]
+    full = EntropyCode(
+        context_map=full_map.astype(np.uint8),
+        depths=code.depths,
+        bits=code.bits,
+        token_depths=code.token_depths,
+    )
+    cl = code.context_map.astype(np.int64)
+    d = (code.token_depths[cl].astype(np.uint32) << 16) | code.bits[cl].astype(
+        np.uint32
+    )
+    return full, d.astype(np.float32)
+
+
 def build_entropy_code_from_cluster_histograms(clustered) -> EntropyCode:
     """Build Huffman codes for already-final histograms (no clustering)."""
     clustered = np.asarray(clustered, np.uint64)

@@ -1,0 +1,356 @@
+"""Device-side AC-section entropy packing: Pallas TPU kernels + jnp glue.
+
+This is the transfer-lean flagship path. The reference serializes AC group
+sections on the host, one token at a time (enc_frame.cc:784-800 through
+BitWriter, enc_bit_writer.cc:119-142). On TPU the device<->host link is the
+scarce resource, so the final per-group section *bits* are produced on device
+and only ~compressed-size bytes cross the link:
+
+  program A (pipeline_jax.analyze_image_packed):
+      pixels -> tokens in emission-row layout -> compact_stream (Pallas) ->
+      base-64 histograms (one-hot outer-product matmul, MXU)
+  host: cluster histograms (<=8), build canonical prefix codes, compose the
+      [64 base ctx, 64 token] (depth, bits) table            (~tiny)
+  program B (pack_ac_sections):
+      per-token (data, nbits) via one-hot bilinear table lookup (MXU) ->
+      per-group bit positions (cumsum) -> scalar bit-pack (Pallas, SMEM) ->
+      aligned word-compaction of all sections into one buffer
+
+Design constraints learned from hardware measurements (see repo history):
+random gathers/scatters cost ~10-16 ns/element on TPU, so every table lookup
+here is either arithmetic, a step-function, or a one-hot matmul; vector
+stores to dynamic offsets must be 128-lane aligned, so the token compaction
+kernel places each row with a dynamic roll and ORs into an aligned window.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import constants as C
+
+ROWS = 32 * 32 * 3  # emission rows per group: raster cells x channels (Y,X,B)
+W = 128  # tokens per row capacity (= coeffs of a 2-block transform)
+
+
+def _interpret():
+    # Pallas TPU kernels run interpreted on CPU (tests / multichip dry runs).
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Base-64 context map (structured, arithmetic — no gather needed on device)
+# ---------------------------------------------------------------------------
+#
+# The reference histograms tokens through a static 1980->64 cluster table at
+# tokenize time and clusters those 64 to <=8 (static_entropy_codes.h:160-501,
+# enc_frame.cc:768-782). Any base map yields a conformant stream (the final
+# context map written to the codestream is the composition), so instead of a
+# baked table we use a *structured* map computable with vector arithmetic:
+#
+#   nzeros tokens: base = block_ctx * 4 + bucket4(nz_pred_bucket)   in [0,16)
+#   coeff tokens:  base = 16 + block_ctx * 12 + min(nnz+freq, 5)*2 + prev
+#
+# where nz_pred_bucket is the 37-bucket nonzero predictor bucket and
+# (nnz, freq, prev) are the zero-density context parts (ac_context.h:64-114).
+
+_NZ_SPLITS = (1, 4, 8)  # nz bucket -> 4 groups
+_ZD_Q_MAX = 5  # (nnz+freq) cap -> 12 zd groups with prev bit
+
+
+def base64_nz(nz_bucket, block_ctx):
+    b4 = sum((nz_bucket >= t).astype(jnp.int32) for t in _NZ_SPLITS)
+    return block_ctx * 4 + b4
+
+
+def base64_zd(q, prev, block_ctx):
+    """q = nnz_part + freq_part; prev in {0,1}."""
+    z12 = jnp.minimum(q, _ZD_Q_MAX) * 2 + prev
+    return 16 + block_ctx * 12 + z12
+
+
+def ac_base64_map():
+    """Numpy twin: full-context map [NUM_AC_CONTEXTS] -> base cluster (u8).
+
+    Must match base64_nz/base64_zd exactly (tested)."""
+    n_nz = C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
+    m = np.zeros(C.NUM_AC_CONTEXTS, np.uint8)
+    ctx = np.arange(C.NUM_AC_CONTEXTS)
+    nz = ctx < n_nz
+    nz_bucket = ctx[nz] // C.NUM_BLOCK_CTXS
+    block = ctx[nz] % C.NUM_BLOCK_CTXS
+    b4 = sum((nz_bucket >= t).astype(np.int64) for t in _NZ_SPLITS)
+    m[nz] = block * 4 + b4
+    rest = ctx[~nz] - n_nz
+    block = rest // C.ZERO_DENSITY_CONTEXT_COUNT
+    zd = rest % C.ZERO_DENSITY_CONTEXT_COUNT
+    q = zd >> 1
+    prev = zd & 1
+    m[~nz] = 16 + block * 12 + np.minimum(q, _ZD_Q_MAX) * 2 + prev
+    return m
+
+
+NUM_BASE_CTXS = 64
+
+
+# ---------------------------------------------------------------------------
+# Token compaction: emission rows -> per-group dense stream
+# ---------------------------------------------------------------------------
+
+
+def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+
+    def body(r, _):
+        s = meta_ref[0, 0, r]
+        c = meta_ref[0, 1, r]
+        a = s & (W - 1)
+        w0 = jnp.minimum((s >> 7) * W, cap - W)
+        w0 = pl.multiple_of(w0, W)
+        row = tok_ref[0, r, :].reshape(1, W)
+        ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
+        rot = pltpu.roll(ext, a, axis=1)
+        contrib = jnp.where((lanes >= a) & (lanes < a + c), rot, jnp.uint32(0))
+        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, body, 0)
+
+
+def compact_stream(rows_tok, rows_cnt, cap):
+    """rows_tok: [G, ROWS, 128] u32; rows_cnt: [G, ROWS] i32.
+
+    Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
+    at positions [start_r, start_r + cnt_r) of the group's stream; positions
+    >= totals[g] are zero. Groups whose totals exceed `cap` are truncated
+    (callers re-run at a larger cap — totals is exact either way)."""
+    g = rows_tok.shape[0]
+    ends = jnp.cumsum(rows_cnt.astype(jnp.int32), axis=1)
+    starts = ends - rows_cnt
+    meta = jnp.stack([starts, rows_cnt.astype(jnp.int32)], axis=1)  # [G,2,ROWS]
+    stream = pl.pallas_call(
+        functools.partial(_compact_kernel, cap=cap),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 2, ROWS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ROWS, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        interpret=_interpret(),
+    )(meta, rows_tok)
+    return stream[:, 0], ends[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# Histograms: [G, cap] stream -> [64, 64] counts (one-hot outer product)
+# ---------------------------------------------------------------------------
+
+
+def _uint_token_extra(value):
+    """Hybrid-uint split (token.h:24-48), arithmetic. value: u32 < 2^16."""
+    vi = value.astype(jnp.int32)
+    vf = jnp.maximum(vi, 16).astype(jnp.float32)
+    n = jnp.frexp(vf)[1] - 1  # floor(log2), exact for ints < 2^24
+    tok_big = (n << 2) + ((vi >> jnp.maximum(n - 2, 0)) & 3)
+    tok = jnp.where(vi < 16, vi, tok_big)
+    nbits = jnp.where(vi < 16, 0, n - 2)
+    extra = jnp.where(vi < 16, 0, vi & ((1 << nbits.astype(jnp.uint32)) - 1))
+    return tok, nbits, extra
+
+
+def hist_base64(stream, totals):
+    """Integer-exact [64, 64] histogram via bf16 one-hot outer product on the
+    MXU (counts < 2^24 are exact in the f32 accumulator). Order-invariant sum
+    => byte-identical entropy codes under any group sharding."""
+    g, cap = stream.shape
+    valid = jnp.arange(cap)[None, :] < totals[:, None]
+    base = (stream >> 16).astype(jnp.int32) & 63
+    tok, _, _ = _uint_token_extra(stream & 0xFFFF)
+    ar = jnp.arange(NUM_BASE_CTXS)
+    a = ((base[..., None] == ar) & valid[..., None]).astype(jnp.bfloat16)
+    b = (tok[..., None] == ar).astype(jnp.bfloat16)
+    hist = jnp.einsum(
+        "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
+    )
+    return hist.astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Per-token bit patterns via one-hot bilinear table lookup
+# ---------------------------------------------------------------------------
+
+
+def token_data_bits(stream, totals, d_table):
+    """stream: [G, cap] u32 (base64<<16|value); d_table: [64, 64] f32 with
+    entry depth*65536 + canonical_code_bits (exact in f32: < 2^21).
+
+    Returns (data [G, cap] u32, nbits [G, cap] i32): the LSB-first bit
+    pattern and length of each token (code bits then hybrid-uint extra bits,
+    enc_entropy_code.h:34-42)."""
+    g, cap = stream.shape
+    valid = jnp.arange(cap)[None, :] < totals[:, None]
+    base = (stream >> 16).astype(jnp.int32) & 63
+    tok, nb_extra, extra = _uint_token_extra(stream & 0xFFFF)
+    ar = jnp.arange(NUM_BASE_CTXS)
+    a = (base[..., None] == ar).astype(jnp.float32)  # [G, cap, 64]
+    # HIGHEST: table entries need >8 mantissa bits; default TPU precision
+    # would truncate them to bf16.
+    ad = jnp.einsum(
+        "gtc,ck->gtk",
+        a,
+        d_table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    b = (tok[..., None] == ar).astype(jnp.float32)
+    packed = (ad * b).sum(axis=-1).astype(jnp.int32)  # depth<<16 | code bits
+    depth = (packed >> 16).astype(jnp.uint32)
+    code = (packed & 0xFFFF).astype(jnp.uint32)
+    data = code | (extra.astype(jnp.uint32) << depth)
+    nbits = (depth.astype(jnp.int32) + nb_extra) * valid
+    return jnp.where(valid, data, 0), nbits
+
+
+# ---------------------------------------------------------------------------
+# Bit packing: (data, pos) -> section words, scalar SMEM kernel
+# ---------------------------------------------------------------------------
+
+
+def _bitpack_kernel(total_ref, data_ref, pos_ref, out_ref, *, ow, ch):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        def zbody(i, _):
+            out_ref[0, 0, i] = jnp.uint32(0)
+            return 0
+
+        jax.lax.fori_loop(0, ow, zbody, 0)
+
+    n = jnp.clip(total_ref[0, 0, 0] - c * ch, 0, ch)
+
+    def body(t, _):
+        p = pos_ref[0, 0, t]
+        d = data_ref[0, 0, t]
+        w = jnp.minimum(p >> 5, ow - 2)
+        sh = (p & 31).astype(jnp.uint32)
+        out_ref[0, 0, w] = out_ref[0, 0, w] | (d << sh)
+        hi = jax.lax.select(
+            sh == 0, jnp.uint32(0), d >> (jnp.uint32(32) - sh)
+        )
+        out_ref[0, 0, w + 1] = out_ref[0, 0, w + 1] | hi
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def bitpack_groups(data, pos, totals, ow, ch=2048):
+    """data/pos: [G, cap]; totals: [G]. Returns packed words [G, ow] u32.
+
+    Positions are absolute bit offsets within the group's section. Tokens
+    whose words exceed `ow` are clamped into the last words (callers detect
+    via bit counts and re-run at a larger ow)."""
+    g, cap = data.shape
+    assert cap % ch == 0
+    out = pl.pallas_call(
+        functools.partial(_bitpack_kernel, ow=ow, ch=ch),
+        grid=(g, cap // ch),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
+        interpret=_interpret(),
+    )(totals[:, None, None].astype(jnp.int32), data[:, None, :], pos[:, None, :])
+    return out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Section word-compaction: [G, ow] -> one aligned buffer
+# ---------------------------------------------------------------------------
+
+
+def _sections_kernel(meta_ref, packed_ref, out_ref, *, ow, wcap):
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    off = meta_ref[0, 0, 0]  # 128-aligned destination word offset
+    nblk = meta_ref[0, 0, 1]  # number of 128-word blocks to copy
+
+    def body(i, _):
+        src = packed_ref[0, 0, pl.ds(i * W, W)]
+        dst = jnp.minimum(off + i * W, wcap - W)
+        dst = pl.multiple_of(dst, W)
+        out_ref[0, pl.ds(dst, W)] = src
+        return 0
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+def compact_sections(packed, bits, wcap):
+    """packed: [G, ow] u32; bits: [G] i32 section bit lengths.
+
+    Lays each group's ceil(bits/32) words at a 128-word-aligned offset in one
+    [wcap] buffer. Returns (buffer [wcap] u32, word_offsets [G] i32)."""
+    g, ow = packed.shape
+    nblk = (bits + (32 * W - 1)) // (32 * W)  # 128-word blocks per group
+    ends = jnp.cumsum(nblk * W)
+    offs = (ends - nblk * W).astype(jnp.int32)
+    meta = jnp.stack([offs, nblk.astype(jnp.int32)], axis=1)[:, None, :]  # [G,1,2]
+    buf = pl.pallas_call(
+        functools.partial(_sections_kernel, ow=ow, wcap=wcap),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 2), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ow), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, wcap), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, wcap), jnp.uint32),
+        interpret=_interpret(),
+    )(meta, packed[:, None, :])
+    return buf[0], offs
+
+
+# ---------------------------------------------------------------------------
+# Program B: stream + code tables -> section bytes
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
+def pack_ac_sections(stream, totals, d_table, ow, wcap):
+    """Device program B. stream: [G, cap(+128)] u32 resident tokens;
+    d_table: [64, 64] f32 (depth<<16|bits, composed with final clustering).
+
+    Returns dict(words [wcap] u32, bits [G] i32, word_offs [G] i32)."""
+    data, nbits = token_data_bits(stream, totals, d_table)
+    ends = jnp.cumsum(nbits, axis=1)
+    pos = ends - nbits
+    bits = ends[:, -1].astype(jnp.int32)
+    packed = bitpack_groups(data, pos, totals, ow)
+    words, offs = compact_sections(packed, bits, wcap)
+    return dict(words=words, bits=bits, word_offs=offs)
+
+
+def rows_from_tokens(tokens_full, count_full):
+    """[G,3,32,32,128] (channel-major) -> emission rows [G, ROWS, 128].
+
+    Emission order (enc_group.cc:340,448): raster over cells, channels
+    Y, X, B within a cell."""
+    g = tokens_full.shape[0]
+    chan = jnp.array([1, 0, 2])
+    rows_tok = tokens_full[:, chan].transpose(0, 2, 3, 1, 4).reshape(g, ROWS, W)
+    rows_cnt = count_full[:, chan].transpose(0, 2, 3, 1).reshape(g, ROWS)
+    return rows_tok, rows_cnt

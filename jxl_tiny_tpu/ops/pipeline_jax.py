@@ -508,11 +508,16 @@ def encode_groups(
     scale_dc,
     x_qm_mul,
     valid,
+    base_ctx=False,
 ):
     """Fused quantize + tokenize (mirrors ref/group_np.py encode_group).
 
     Returns tokens [G,32,32,3,64] u32, counts [G,32,32,3] i32,
     quant_dc [G,3,32,32] i32, nzeros map [G,3,32,32] i32.
+
+    With base_ctx=True tokens carry the structured base-64 context cluster
+    (pack_kernels.ac_base64_map) instead of the full 1980-context id — the
+    form consumed by the device entropy-packing path.
     """
     g = xyb.shape[0]
     scale = F32(scale)
@@ -635,7 +640,12 @@ def encode_groups(
         jnp.asarray(bct[C.DCT8X16])[None, :, None, None, None],
     )[..., 0]  # [G,3,32,32]
     nz_bucket = jnp.where(pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2))
-    nzero_ctx = nz_bucket * C.NUM_BLOCK_CTXS + block_ctx  # [G,3,32,32]
+    if base_ctx:
+        from .pack_kernels import base64_nz
+
+        nzero_ctx = base64_nz(nz_bucket, block_ctx)  # [G,3,32,32]
+    else:
+        nzero_ctx = nz_bucket * C.NUM_BLOCK_CTXS + block_ctx  # [G,3,32,32]
 
     cum_nz = jnp.cumsum(jnp.where(in_range[:, None], nonzero, False), axis=-1)
     nz_left = nzeros_total[..., None] - cum_nz + jnp.where(
@@ -655,12 +665,17 @@ def encode_groups(
     freq_part = jnp.where(
         cov2, jnp.asarray(_FREQ_TAB[1]), jnp.asarray(_FREQ_TAB[0])
     )  # [G,1,32,32,128]
-    zd_ctx = (nnz_part + freq_part) * 2 + prev
-    zd_offset = (
-        C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
-        + C.ZERO_DENSITY_CONTEXT_COUNT * block_ctx
-    )
-    coeff_ctx = zd_offset[..., None] + zd_ctx  # [G,3,32,32,128]
+    if base_ctx:
+        from .pack_kernels import base64_zd
+
+        coeff_ctx = base64_zd(nnz_part + freq_part, prev, block_ctx[..., None])
+    else:
+        zd_ctx = (nnz_part + freq_part) * 2 + prev
+        zd_offset = (
+            C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
+            + C.ZERO_DENSITY_CONTEXT_COUNT * block_ctx
+        )
+        coeff_ctx = zd_offset[..., None] + zd_ctx  # [G,3,32,32,128]
 
     tok_valid = in_range[:, None] & (nz_left > 0) & first[:, None, :, :, None]
     coeff_val = _pack_signed(ordered)
@@ -925,6 +940,101 @@ def _analyze_groups_fast_impl(
         ytox=ytox.astype(jnp.int8),
         ytob=ytob.astype(jnp.int8),
     )
+
+
+def _pack_meta_u8(quant_dc, raw_qf, strategy, is_first, ytox, ytob):
+    """Pack the small per-group host-side maps into one u8 buffer [G, 8224]
+    so they cross the device->host link as a single transfer (the link has
+    ~25ms per-transfer latency in tunneled setups)."""
+    g = quant_dc.shape[0]
+    qdc = jax.lax.bitcast_convert_type(
+        quant_dc.astype(jnp.int16), jnp.uint8
+    ).reshape(g, -1)
+    qf = raw_qf.astype(jnp.uint8).reshape(g, -1)
+    sf = (
+        strategy.astype(jnp.uint8) | (is_first.astype(jnp.uint8) << 7)
+    ).reshape(g, -1)
+    yx = jax.lax.bitcast_convert_type(ytox.astype(jnp.int8), jnp.uint8).reshape(g, -1)
+    yb_ = jax.lax.bitcast_convert_type(ytob.astype(jnp.int8), jnp.uint8).reshape(g, -1)
+    return jnp.concatenate([qdc, qf, sf, yx, yb_], axis=1)
+
+
+META_BYTES = 3 * 32 * 32 * 2 + 32 * 32 + 32 * 32 + 16 + 16
+
+
+def unpack_meta_u8(meta):
+    """Numpy inverse of _pack_meta_u8. meta: [G, META_BYTES] u8."""
+    g = meta.shape[0]
+    o = 0
+    qdc = meta[:, o : o + 6144].view(np.int16).reshape(g, 3, 32, 32)
+    o += 6144
+    qf = meta[:, o : o + 1024].reshape(g, 32, 32)
+    o += 1024
+    sf = meta[:, o : o + 1024].reshape(g, 32, 32)
+    o += 1024
+    ytox = meta[:, o : o + 16].view(np.int8).reshape(g, 4, 4)
+    o += 16
+    ytob = meta[:, o : o + 16].view(np.int8).reshape(g, 4, 4)
+    return dict(
+        quant_dc=qdc,
+        raw_qf=qf,
+        strategy=(sf & 0x7F).astype(np.uint8),
+        is_first=(sf >> 7).astype(bool),
+        ytox=ytox,
+        ytob=ytob,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("distance", "inv_scale", "scale", "scale_dc", "x_qm_mul", "cap"),
+)
+def analyze_image_packed(
+    image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+):
+    """Device program A of the flagship path: whole image -> device-resident
+    emission-ordered token stream (base-64 contexts) + base histograms + the
+    packed per-group host maps. Only `hist`, `totals`, and `meta` are meant
+    to cross the link; `stream` stays resident and feeds pack_ac_sections."""
+    from .pack_kernels import compact_stream, hist_base64, rows_from_tokens
+
+    groups = extract_groups_device(image)
+    g = groups.shape[0]
+    xyb = to_xyb(groups)
+    qf, masking, raw_qf = adaptive_quant_field(xyb, distance, inv_scale)
+    blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef8 = dct2d(blocks8, 8, 8)
+    by_i = jnp.arange(32)[:, None]
+    bx_i = jnp.arange(32)[None, :]
+    valid = (by_i[None] < yb_valid[:, None, None]) & (
+        bx_i[None] < xb_valid[:, None, None]
+    )
+    ytox, ytob = compute_cmap(coef8, valid)
+    strategy, is_first, coef_v, coef_h = compute_ac_strategy(
+        xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
+    )
+    raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
+    tokens_full, count_full, quant_dc, _ = encode_groups(
+        xyb,
+        coef8,
+        coef_v,
+        coef_h,
+        strategy,
+        is_first,
+        raw_qf,
+        ytox,
+        ytob,
+        scale,
+        scale_dc,
+        x_qm_mul,
+        valid,
+        base_ctx=True,
+    )
+    rows_tok, rows_cnt = rows_from_tokens(tokens_full, count_full)
+    stream, totals = compact_stream(rows_tok, rows_cnt, cap)
+    hist = hist_base64(stream[:, :cap], jnp.minimum(totals, cap))
+    meta = _pack_meta_u8(quant_dc, raw_qf, strategy, is_first, ytox, ytob)
+    return dict(stream=stream, totals=totals, hist=hist, meta=meta)
 
 
 def make_analyze_fn():

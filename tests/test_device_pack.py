@@ -1,0 +1,144 @@
+"""Device-side AC entropy packing (ops.pack_kernels): unit + e2e tests.
+
+Pallas kernels run in interpret mode on the CPU test mesh."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from jxl_tiny_tpu.ops import pack_kernels as PK
+
+
+def test_base64_map_twin():
+    """Numpy ac_base64_map must match the device formulas exactly."""
+    import jxl_tiny_tpu.constants as C
+
+    m = PK.ac_base64_map()
+    assert m.shape == (C.NUM_AC_CONTEXTS,)
+    assert m.max() < 64
+    n_nz = C.NUM_BLOCK_CTXS * C.NONZERO_BUCKETS
+    # nzero contexts
+    nz_bucket = np.arange(n_nz) // C.NUM_BLOCK_CTXS
+    block = np.arange(n_nz) % C.NUM_BLOCK_CTXS
+    dev = np.asarray(PK.base64_nz(jnp.asarray(nz_bucket), jnp.asarray(block)))
+    assert np.array_equal(dev, m[:n_nz])
+    # zero-density contexts
+    rest = np.arange(C.NUM_AC_CONTEXTS - n_nz)
+    block = rest // C.ZERO_DENSITY_CONTEXT_COUNT
+    zd = rest % C.ZERO_DENSITY_CONTEXT_COUNT
+    dev = np.asarray(
+        PK.base64_zd(jnp.asarray(zd >> 1), jnp.asarray(zd & 1), jnp.asarray(block))
+    )
+    assert np.array_equal(dev, m[n_nz:])
+
+
+def test_compact_stream():
+    rng = np.random.RandomState(0)
+    g = 2
+    cnt = rng.poisson(4.0, size=(g, PK.ROWS)).clip(0, 128).astype(np.int32)
+    cnt[1, :10] = 128
+    tok = rng.randint(1, 1 << 27, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
+    cap = 16384
+    stream, totals = PK.compact_stream(jnp.asarray(tok), jnp.asarray(cnt), cap)
+    stream = np.asarray(stream)
+    totals = np.asarray(totals)
+    assert np.array_equal(totals, cnt.sum(axis=1))
+    for k in range(g):
+        ref = np.concatenate([tok[k, r, : cnt[k, r]] for r in range(PK.ROWS)])
+        assert np.array_equal(stream[k, : len(ref)], ref)
+        assert (stream[k, len(ref) : cap] == 0).all()
+
+
+def _ref_bitpack(data, nbits, total, ow):
+    out = np.zeros(ow, np.uint32)
+    p = 0
+    for t in range(total):
+        d, nb = int(data[t]), int(nbits[t])
+        out[p >> 5] |= (d << (p & 31)) & 0xFFFFFFFF
+        if (p & 31) and (p & 31) + nb > 32:
+            out[(p >> 5) + 1] |= d >> (32 - (p & 31))
+        p += nb
+    return out, p
+
+
+def test_bitpack_groups():
+    rng = np.random.RandomState(1)
+    g, cap, ow = 3, 4096, 2048
+    totals = np.array([4096, 1777, 0], np.int32)
+    nbits = rng.randint(0, 15, size=(g, cap)).astype(np.int32)
+    data = (rng.randint(0, 1 << 28, size=(g, cap)) & ((1 << np.maximum(nbits, 1)) - 1)).astype(
+        np.uint32
+    )
+    slot = np.arange(cap)[None, :]
+    nbits = np.where(slot < totals[:, None], nbits, 0)
+    data = np.where(slot < totals[:, None], data, 0)
+    pos = np.cumsum(nbits, axis=1) - nbits
+    out = np.asarray(
+        PK.bitpack_groups(
+            jnp.asarray(data), jnp.asarray(pos.astype(np.int32)), jnp.asarray(totals), ow
+        )
+    )
+    for k in range(g):
+        ref, _ = _ref_bitpack(data[k], nbits[k], totals[k], ow)
+        assert np.array_equal(out[k], ref), f"group {k}"
+
+
+def test_token_data_bits_and_hist():
+    rng = np.random.RandomState(2)
+    g, cap = 2, 512
+    base = rng.randint(0, 64, size=(g, cap))
+    value = rng.randint(0, 1 << 16, size=(g, cap))
+    stream = ((base.astype(np.uint32) << 16) | value).astype(np.uint32)
+    totals = np.array([512, 300], np.int32)
+    d_np = rng.randint(0, 16, size=(64, 64)).astype(np.uint32)
+    bits_np = rng.randint(0, 1 << 15, size=(64, 64)).astype(np.uint32)
+    d_table = ((d_np << 16) | bits_np).astype(np.float32)
+
+    data, nbits = PK.token_data_bits(
+        jnp.asarray(stream), jnp.asarray(totals), jnp.asarray(d_table)
+    )
+    data, nbits = np.asarray(data), np.asarray(nbits)
+
+    from jxl_tiny_tpu.entropy.uint_coder import uint_encode
+
+    tok, nb_e, _ = uint_encode(value.ravel().astype(np.uint32))
+    tok = tok.reshape(g, cap)
+    nb_e = nb_e.reshape(g, cap).astype(np.int64)
+    extra = (value & ((1 << nb_e) - 1)).astype(np.uint32)
+    depth = d_np[base, tok]
+    exp_data = bits_np[base, tok] | (extra << depth)
+    exp_nbits = depth.astype(np.int64) + nb_e
+    valid = np.arange(cap)[None, :] < totals[:, None]
+    assert np.array_equal(data, np.where(valid, exp_data, 0))
+    assert np.array_equal(nbits, np.where(valid, exp_nbits, 0))
+
+    hist = np.asarray(PK.hist_base64(jnp.asarray(stream), jnp.asarray(totals)))
+    exp_hist = np.zeros((64, 64), np.uint32)
+    np.add.at(exp_hist, (base[valid], tok[valid]), 1)
+    assert np.array_equal(hist, exp_hist)
+
+
+def test_device_pack_e2e_matches_host_path():
+    """Full encode via the device-packed path: decoded pixels must be
+    bit-identical to the host-packed path (same quantization decisions,
+    different entropy-code clustering only) and sizes within 5%."""
+    from jxl_tiny_tpu.encoder import encode_image_jax, encode_image_device
+    from jxl_tiny_tpu.decode.decoder import decode_jxl
+
+    rng = np.random.RandomState(3)
+    h, w = 176, 272
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.05) * np.cos(yy * 0.03),
+            0.5 + 0.3 * np.sin((xx + yy) * 0.02),
+            0.4 + 0.2 * np.cos(xx * 0.01),
+        ]
+    ).astype(np.float32)
+    img = np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.02, 0, 1)
+
+    d_host = encode_image_jax(img, 1.0, fast=True)
+    d_dev = encode_image_device(img, 1.0, upload_dtype=None)
+    assert abs(len(d_dev) - len(d_host)) / len(d_host) < 0.05
+    ph = decode_jxl(d_host)
+    pd = decode_jxl(d_dev)
+    assert np.array_equal(np.asarray(ph), np.asarray(pd))
