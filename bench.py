@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Headline benchmark: 8MP PFM encode at distance 1.0, end-to-end
+"""Headline benchmark: 8MP encode at distance 1.0, end-to-end
 (pixels in host memory -> .jxl bytes), on the available TPU.
 
 Prints ONE json line:
@@ -8,6 +8,12 @@ Prints ONE json line:
 Baseline: the reference cjxl_tiny (C++, single-threaded) encodes the same
 8MP image in 0.379s user time on this host = 21.9 MP/s (measured; the repo
 publishes no numbers, see BASELINE.md).
+
+Headline path: float32 linear-sRGB pixels in host RAM (the reference's input
+contract), uploaded as f16, analyzed + entropy-packed on device
+(encoder.encode_image_device). The detail block also reports the 8-bit-source
+path (sRGB u8 in RAM, linearized on device), which is the common production
+case and rides the host->device link at a quarter of the bytes.
 """
 import json
 import os
@@ -40,20 +46,30 @@ def _load_image():
     return (img ** 2.2).astype(np.float32)
 
 
+def _best(fn, n=4):
+    times = []
+    for _ in range(n):
+        t = time.time()
+        out = fn()
+        times.append(time.time() - t)
+    return min(times), times, out
+
+
 def main():
-    from jxl_tiny_tpu.encoder import encode_image_jax
+    from jxl_tiny_tpu.encoder import encode_image_device
+    from jxl_tiny_tpu.io.color import linear_to_srgb_u8
 
     img = _load_image()
     mp = img.shape[1] * img.shape[2] / 1e6
 
-    data = encode_image_jax(img, 1.0, upload_dtype=np.float16)  # compile
-    times = []
-    for _ in range(4):
-        t = time.time()
-        data = encode_image_jax(img, 1.0, upload_dtype=np.float16)
-        times.append(time.time() - t)
-    best = min(times)
-    mps = mp / best
+    encode_image_device(img, 1.0)  # compile
+    best_f16, times_f16, data = _best(lambda: encode_image_device(img, 1.0))
+
+    u8 = linear_to_srgb_u8(img)
+    encode_image_device(u8, 1.0)  # compile
+    best_u8, times_u8, data_u8 = _best(lambda: encode_image_device(u8, 1.0))
+
+    mps = mp / best_f16
     print(
         json.dumps(
             {
@@ -62,8 +78,11 @@ def main():
                 "unit": "MP/s",
                 "vs_baseline": round(mps / BASELINE_MPS, 3),
                 "detail": {
-                    "times_s": [round(t, 3) for t in times],
+                    "times_s": [round(t, 3) for t in times_f16],
                     "bytes": len(data),
+                    "u8_source_mps": round(mp / best_u8, 3),
+                    "u8_times_s": [round(t, 3) for t in times_u8],
+                    "u8_bytes": len(data_u8),
                     "baseline_mps_cpu_ref": BASELINE_MPS,
                 },
             }

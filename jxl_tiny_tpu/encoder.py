@@ -383,6 +383,10 @@ def encode_image_device(
 
     Orchestration (two device programs + tiny host stage in between) mirrors
     the reference's two-pass OptimizeSections scheme (enc_frame.cc:765-802).
+
+    img may be float (linear sRGB, reference-equivalent; uploaded as
+    upload_dtype) or uint8 (sRGB-encoded 8-bit samples, linearized on device
+    — the native path for 8-bit sources, quartering upload bytes).
     """
     import jax
     import jax.numpy as jnp
@@ -405,7 +409,10 @@ def encode_image_device(
             xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
             i += 1
 
-    up = img if upload_dtype is None else img.astype(upload_dtype)
+    if img.dtype == np.uint8:
+        up = img  # sRGB u8: linearized on device (extract_groups_device)
+    else:
+        up = img if upload_dtype is None else img.astype(upload_dtype)
     kwargs = dict(
         distance=float(distp.distance),
         inv_scale=float(distp.inv_scale),

@@ -850,11 +850,24 @@ def extract_groups_device(image):
 
     Matches CopyAndPadImage semantics (enc_frame.cc:597-617): padding pixels
     replicate the last valid row/column.
+
+    uint8 input is interpreted as sRGB-encoded samples and linearized on
+    device (IEC 61966-2-1 EOTF). 8-bit uploads ride the host<->device link at
+    a quarter of f32's bytes — and most photographic sources are 8-bit sRGB
+    to begin with, so this ingest path adds no loss for them.
     """
     _, h, w = image.shape
     gh = -(-h // 256) * 256
     gw = -(-w // 256) * 256
-    image = image.astype(F32)  # f16 uploads are converted on device
+    if image.dtype == jnp.uint8:
+        x = image.astype(F32) * F32(1.0 / 255.0)
+        image = jnp.where(
+            x <= F32(0.04045),
+            x * F32(1.0 / 12.92),
+            jnp.exp(F32(2.4) * jnp.log(jnp.maximum((x + F32(0.055)) * F32(1.0 / 1.055), 1e-7))),
+        )
+    else:
+        image = image.astype(F32)  # f16 uploads are converted on device
     img = jnp.pad(image, ((0, 0), (0, gh - h), (0, gw - w)), mode="edge")
     img = img.reshape(3, gh // 256, 256, gw // 256, 256)
     return img.transpose(1, 3, 0, 2, 4).reshape(-1, 3, 256, 256)
