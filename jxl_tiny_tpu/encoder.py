@@ -152,6 +152,10 @@ def assemble_codestream(
     S.write_ac_global(w, dim.num_groups, ac_code)
     sections.append(w)
     if ac_writers is not None:
+        # Callable form: the device-packed path defers its download/sync so
+        # program B overlaps all the host work above.
+        if callable(ac_writers):
+            ac_writers = ac_writers()
         sections.extend(ac_writers)
     else:
         for ops in ac_ops:
@@ -370,6 +374,149 @@ def _next_bucket(buckets, value):
     raise ValueError(f"value {value} exceeds largest bucket {buckets[-1]}")
 
 
+class DeviceEncodeJob:
+    """One image through the device-packed path, staged so that several
+    images can be pipelined over the host<->device link
+    (encode_images_device). Stages:
+
+      __init__  enqueues the pixel upload + device program A (async)
+      pack()    syncs A's small outputs, builds the entropy code, enqueues
+                program B (async)
+      result()  host assembly (DC sections, headers, TOC); B's outputs are
+                synced at the last moment so its device time overlaps the
+                host work
+    """
+
+    def __init__(self, img, distance=1.0, upload_dtype=np.float16,
+                 cap=32768, ow=8192):
+        import jax.numpy as jnp
+        from .ops.pipeline_jax import analyze_image_packed
+
+        assert img.ndim == 3 and img.shape[0] == 3
+        distance = clamp_distance(distance)
+        self.distp = compute_distance_params(distance)
+        self.dim = ImageDim(img.shape[2], img.shape[1])
+        self.cap = cap
+        self.ow = ow
+        g = self.dim.num_groups
+        yb_arr = np.empty(g, np.int32)
+        xb_arr = np.empty(g, np.int32)
+        i = 0
+        for gy in range(self.dim.ysize_groups):
+            for gx in range(self.dim.xsize_groups):
+                yb_arr[i] = div_ceil(min(256, img.shape[1] - gy * 256), 8)
+                xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
+                i += 1
+        self.yb_arr, self.xb_arr = yb_arr, xb_arr
+
+        if img.dtype == np.uint8:
+            up = img  # sRGB u8: linearized on device (extract_groups_device)
+        else:
+            up = img if upload_dtype is None else img.astype(upload_dtype)
+        self._kwargs = dict(
+            distance=float(self.distp.distance),
+            inv_scale=float(self.distp.inv_scale),
+            scale=float(self.distp.scale),
+            scale_dc=float(self.distp.scale_dc),
+            x_qm_mul=float(self.distp.x_qm_mul),
+        )
+
+        def run_a(c):
+            return analyze_image_packed(
+                jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr),
+                cap=c, **self._kwargs
+            )
+
+        self._run_a = run_a
+        self.out_a = run_a(cap)  # dispatched; not synced
+
+    def pack(self):
+        """Sync program A's small outputs; build the entropy code; dispatch
+        program B."""
+        import jax.numpy as jnp
+        from .ops.pipeline_jax import unpack_meta_u8
+        from .ops.pack_kernels import pack_ac_sections, ac_base64_map
+        from .entropy.entropy_write import build_ac_device_code
+
+        totals = np.asarray(self.out_a["totals"])
+        if int(totals.max(initial=0)) > self.cap:
+            self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+            self.out_a = self._run_a(self.cap)
+        hist = np.asarray(self.out_a["hist"])
+        self.meta = unpack_meta_u8(np.asarray(self.out_a["meta"]))
+        self.full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+
+        # wcap sized for worst-case alignment slack; the [1, wcap] output
+        # block must fit VMEM, so enormous images would need the padded
+        # per-group download fallback (NotImplementedError below).
+        self._stream = self.out_a["stream"][:, : self.cap]
+        self._totals_d = self.out_a["totals"]
+        self._d_dev = jnp.asarray(d_table)
+        g = self.dim.num_groups
+        self.wcap = min(1 << (int(g * self.ow)).bit_length(), 2 * 1024 * 1024)
+        self.out_b = pack_ac_sections(
+            self._stream, self._totals_d, self._d_dev, ow=self.ow, wcap=self.wcap
+        )
+
+    def _ac_writers(self):
+        from .ops.pack_kernels import pack_ac_sections
+
+        while True:
+            bits = np.asarray(self.out_b["bits"])
+            if int(bits.max(initial=0)) <= self.ow * 32 - 32:
+                break
+            self.ow = _next_bucket(
+                (8192, 32768, 131072), (int(bits.max()) + 31) // 32
+            )
+            self.out_b = pack_ac_sections(
+                self._stream, self._totals_d, self._d_dev,
+                ow=self.ow, wcap=self.wcap,
+            )
+        offs = np.asarray(self.out_b["word_offs"])
+        nblk = (bits + (32 * 128 - 1)) // (32 * 128)
+        used = int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
+        if used > self.wcap:
+            raise NotImplementedError(
+                "wcap overflow: image too large for single-buffer section "
+                "compaction; use encode_image_jax"
+            )
+        dl = min(self.wcap, -(-max(used, 1) // 65536) * 65536)
+        words = np.asarray(self.out_b["words"][:dl])
+        return [
+            _writer_from_bits(
+                words[offs[k] : offs[k] + (bits[k] + 31) // 32].view(np.uint8),
+                int(bits[k]),
+            )
+            for k in range(self.dim.num_groups)
+        ]
+
+    def result(self) -> bytes:
+        meta = self.meta
+        groups = {}
+        i = 0
+        for gy in range(self.dim.ysize_groups):
+            for gx in range(self.dim.xsize_groups):
+                yb, xb = int(self.yb_arr[i]), int(self.xb_arr[i])
+                ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+                gr = GroupResult(
+                    None,
+                    meta["strategy"][i],
+                    meta["is_first"][i],
+                    meta["raw_qf"][i],
+                    meta["ytox"][i, :ty, :tx],
+                    meta["ytob"][i, :ty, :tx],
+                    yb,
+                    xb,
+                )
+                gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
+                groups[(gy, gx)] = gr
+                i += 1
+        return assemble_codestream(
+            groups, self.dim, self.distp,
+            ac_writers=self._ac_writers, ac_code=self.full_code,
+        )
+
+
 def encode_image_device(
     img: np.ndarray,
     distance: float = 1.0,
@@ -388,115 +535,33 @@ def encode_image_device(
     upload_dtype) or uint8 (sRGB-encoded 8-bit samples, linearized on device
     — the native path for 8-bit sources, quartering upload bytes).
     """
-    import jax
-    import jax.numpy as jnp
-    from .ops.pipeline_jax import analyze_image_packed, unpack_meta_u8
-    from .ops.pack_kernels import pack_ac_sections, ac_base64_map
-    from .entropy.entropy_write import build_ac_device_code
+    job = DeviceEncodeJob(img, distance, upload_dtype, cap, ow)
+    job.pack()
+    return job.result()
 
-    assert img.ndim == 3 and img.shape[0] == 3
-    distance = clamp_distance(distance)
-    distp = compute_distance_params(distance)
-    dim = ImageDim(img.shape[2], img.shape[1])
-    g = dim.num_groups
 
-    yb_arr = np.empty(g, np.int32)
-    xb_arr = np.empty(g, np.int32)
-    i = 0
-    for gy in range(dim.ysize_groups):
-        for gx in range(dim.xsize_groups):
-            yb_arr[i] = div_ceil(min(256, img.shape[1] - gy * 256), 8)
-            xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
-            i += 1
+def encode_images_device(imgs, distance=1.0, upload_dtype=np.float16, depth=2):
+    """Pipelined batch encode (generator of .jxl byte strings, input order).
 
-    if img.dtype == np.uint8:
-        up = img  # sRGB u8: linearized on device (extract_groups_device)
-    else:
-        up = img if upload_dtype is None else img.astype(upload_dtype)
-    kwargs = dict(
-        distance=float(distp.distance),
-        inv_scale=float(distp.inv_scale),
-        scale=float(distp.scale),
-        scale_dc=float(distp.scale_dc),
-        x_qm_mul=float(distp.x_qm_mul),
-    )
+    While image i's sections download and its codestream is assembled on the
+    host, image i+1's pixels stream up and run program A — the TPU-native
+    replacement for the reference's per-image ThreadPool fan-out
+    (base/data_parallel.h). Sustained throughput approaches
+    max(link, device, host) instead of their sum.
+    """
+    from collections import deque
 
-    def run_a(c):
-        return analyze_image_packed(
-            jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr), cap=c, **kwargs
-        )
-
-    out_a = run_a(cap)
-    totals = np.asarray(out_a["totals"])
-    max_total = int(totals.max(initial=0))
-    if max_total > cap:
-        cap = _next_bucket(_CAP_BUCKETS, max_total)
-        out_a = run_a(cap)
-        totals = np.asarray(out_a["totals"])
-    hist = np.asarray(out_a["hist"])
-    meta = unpack_meta_u8(np.asarray(out_a["meta"]))
-
-    full_code, d_table = build_ac_device_code(hist, ac_base64_map())
-
-    # Program B: pack AC sections on device. wcap sized for worst-case
-    # alignment slack; the [1, wcap] output block must fit VMEM, so huge
-    # images fall back to downloading the per-group padded buffers.
-    stream = out_a["stream"][:, :cap]
-    totals_d = out_a["totals"]
-    d_dev = jnp.asarray(d_table)
-    wcap = min(
-        1 << (int(g * ow)).bit_length(), 2 * 1024 * 1024
-    )
-    while True:
-        out_b = pack_ac_sections(stream, totals_d, d_dev, ow=ow, wcap=wcap)
-        bits = np.asarray(out_b["bits"])
-        if int(bits.max(initial=0)) <= ow * 32 - 32:
-            break
-        ow = _next_bucket((8192, 32768, 131072), (int(bits.max()) + 31) // 32)
-    offs = np.asarray(out_b["word_offs"])
-    nblk = (bits + (32 * 128 - 1)) // (32 * 128)
-    used = int(offs[-1] + nblk[-1] * 128)
-    if used <= wcap:
-        dl = min(wcap, -(-used // 65536) * 65536)
-        words = np.asarray(out_b["words"][:dl])
-        word_rows = [
-            words[offs[k] : offs[k] + (bits[k] + 31) // 32] for k in range(g)
-        ]
-    else:  # overflow of the single compaction buffer: padded per-group dl
-        packed = np.asarray(out_b["words"])  # full buffer, truncated sections
-        raise NotImplementedError(
-            "wcap overflow: image too large for single-buffer section "
-            "compaction; use encode_image_jax"
-        )
-
-    ac_writers = []
-    for k in range(g):
-        ac_writers.append(
-            _writer_from_bits(word_rows[k].view(np.uint8), int(bits[k]))
-        )
-
-    groups = {}
-    i = 0
-    for gy in range(dim.ysize_groups):
-        for gx in range(dim.xsize_groups):
-            yb, xb = int(yb_arr[i]), int(xb_arr[i])
-            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
-            gr = GroupResult(
-                None,
-                meta["strategy"][i],
-                meta["is_first"][i],
-                meta["raw_qf"][i],
-                meta["ytox"][i, :ty, :tx],
-                meta["ytob"][i, :ty, :tx],
-                yb,
-                xb,
-            )
-            gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
-            groups[(gy, gx)] = gr
-            i += 1
-    return assemble_codestream(
-        groups, dim, distp, ac_writers=ac_writers, ac_code=full_code
-    )
+    q = deque()
+    for img in imgs:
+        q.append(DeviceEncodeJob(img, distance, upload_dtype))
+        if len(q) >= depth:
+            job = q.popleft()
+            job.pack()
+            yield job.result()
+    while q:
+        job = q.popleft()
+        job.pack()
+        yield job.result()
 
 
 def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):
