@@ -324,14 +324,22 @@ def build_ac_group_section(tokens, counts, strategy, is_first):
 
 
 def histogram_sections(section_ops_list, num_contexts):
+    from ..cpp import get_lib
+
+    lib = get_lib()
     histo = np.zeros((num_contexts, C.ALPHABET_SIZE), np.uint32)
     for ops in section_ops_list:
         for op in ops:
-            if op[0] == "tokens":
+            if op[0] == "bits":
+                continue
+            if lib is not None:
+                s = _op_stream_u32(op)
+                lib.histogram_tokens(s.ctypes.data, len(s), histo.ctypes.data)
+            elif op[0] == "tokens":
                 _, ctx, val = op
                 tok, _, _ = uint_encode(val)
                 np.add.at(histo, (ctx, tok), 1)
-            elif op[0] == "stream":
+            else:
                 s = op[1]
                 tok, _, _ = uint_encode(s & 0xFFFF)
                 np.add.at(histo, ((s >> 16).astype(np.int64), tok), 1)

@@ -28,8 +28,23 @@ def main(argv=None):
     p.add_argument("--f32-upload", action="store_true",
                    help="upload pixels as float32 (default float16; the "
                    "lossy encode masks f16 ingest error)")
+    p.add_argument("--static-codes", action="store_true",
+                   help="one-pass static entropy codes (reference "
+                   "OPTIMIZE_CODE=0 tier): lower latency, larger output")
+    p.add_argument("--no-cfl", action="store_true",
+                   help="disable chroma-from-luma (OPTIMIZE_CHROMA_FROM_LUMA=0)")
+    p.add_argument("--no-block-sizes", action="store_true",
+                   help="disable 16x8/8x16 DCT selection (OPTIMIZE_BLOCK_SIZES=0)")
     p.add_argument("-q", "--quiet", action="store_true")
     args = p.parse_args(argv)
+
+    from .common import EncoderConfig
+
+    config = EncoderConfig(
+        optimize_code=not args.static_codes,
+        optimize_chroma_from_luma=not args.no_cfl,
+        optimize_block_sizes=not args.no_block_sizes,
+    )
 
     from .io.pfm import read_pfm
 
@@ -42,7 +57,9 @@ def main(argv=None):
     if args.pipeline == "device":
         from .encoder import encode_image_device
 
-        data = encode_image_device(img, args.distance, upload_dtype=upload)
+        data = encode_image_device(
+            img, args.distance, upload_dtype=upload, config=config
+        )
     elif args.pipeline == "tpu":
         from .encoder import encode_image_jax
 

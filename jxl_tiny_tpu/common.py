@@ -63,6 +63,29 @@ class ImageDim:
         return self.xsize_dc_groups * self.ysize_dc_groups
 
 
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Capability tiers, mirroring the reference's compile-time toggles
+    (encoder/config.h:10-12). Here they are runtime options — each tier is a
+    differently-specialized XLA program rather than a different binary.
+
+    optimize_code: two-pass clustered entropy codes (enc_frame.cc:765-802)
+        vs one-pass static codes (static_entropy_codes.h role; our tables are
+        corpus-trained, constants/static_codes.npz).
+    optimize_chroma_from_luma: least-squares CfL factors per 64x64 tile
+        (enc_chroma_from_luma.cc) vs ytox=ytob=0.
+    optimize_block_sizes: 16x8/8x16 DCT selection (enc_ac_strategy.cc) vs
+        all-DCT8.
+    """
+
+    optimize_code: bool = True
+    optimize_chroma_from_luma: bool = True
+    optimize_block_sizes: bool = True
+
+
+DEFAULT_CONFIG = EncoderConfig()
+
+
 def quant_dc(distance: float) -> float:
     """enc_frame.cc:95-102."""
     k_dc_quant_pow = 0.57

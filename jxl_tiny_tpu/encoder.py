@@ -109,12 +109,13 @@ def assemble_codestream(
     ac_histo=None,
     ac_writers=None,
     ac_code=None,
+    dc_code=None,
 ) -> bytes:
     """Build sections, optimize entropy codes, pack the final codestream.
 
     ac_writers/ac_code: pre-serialized AC group sections + their entropy code
     (the device-packed path, ops.pack_kernels) — AC histogramming and token
-    packing are skipped."""
+    packing are skipped. dc_code: static DC code (one-pass tier)."""
     # --- DC group sections ---
     dc_ops = []
     for dgy in range(dim.ysize_dc_groups):
@@ -134,8 +135,9 @@ def assemble_codestream(
                 )
 
     # --- Two-pass entropy optimization (enc_frame.cc:846-850) ---
-    dc_histo = S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS)
-    dc_code = build_entropy_code(dc_histo)
+    if dc_code is None:
+        dc_histo = S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS)
+        dc_code = build_entropy_code(dc_histo)
     if ac_code is None:
         if ac_histo is None:
             ac_histo = S.histogram_sections(ac_ops, C.NUM_AC_CONTEXTS)
@@ -388,11 +390,13 @@ class DeviceEncodeJob:
     """
 
     def __init__(self, img, distance=1.0, upload_dtype=np.float16,
-                 cap=32768, ow=8192):
+                 cap=32768, ow=8192, config=None):
         import jax.numpy as jnp
         from .ops.pipeline_jax import analyze_image_packed
+        from .common import DEFAULT_CONFIG
 
         assert img.ndim == 3 and img.shape[0] == 3
+        self.config = DEFAULT_CONFIG if config is None else config
         distance = clamp_distance(distance)
         self.distp = compute_distance_params(distance)
         self.dim = ImageDim(img.shape[2], img.shape[1])
@@ -424,7 +428,10 @@ class DeviceEncodeJob:
         def run_a(c):
             return analyze_image_packed(
                 jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr),
-                cap=c, **self._kwargs
+                cap=c,
+                cfl=self.config.optimize_chroma_from_luma,
+                blocks=self.config.optimize_block_sizes,
+                **self._kwargs,
             )
 
         self._run_a = run_a
@@ -442,9 +449,15 @@ class DeviceEncodeJob:
         if int(totals.max(initial=0)) > self.cap:
             self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
             self.out_a = self._run_a(self.cap)
-        hist = np.asarray(self.out_a["hist"])
         self.meta = unpack_meta_u8(np.asarray(self.out_a["meta"]))
-        self.full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+        self.dc_code = None
+        if self.config.optimize_code:
+            hist = np.asarray(self.out_a["hist"])
+            self.full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+        else:  # one-pass static codes (the reference's OPTIMIZE_CODE=0 tier)
+            from .entropy.entropy_write import load_static_codes
+
+            self.full_code, d_table, self.dc_code = load_static_codes()
 
         # wcap sized for worst-case alignment slack; the [1, wcap] output
         # block must fit VMEM, so enormous images would need the padded
@@ -514,6 +527,7 @@ class DeviceEncodeJob:
         return assemble_codestream(
             groups, self.dim, self.distp,
             ac_writers=self._ac_writers, ac_code=self.full_code,
+            dc_code=self.dc_code,
         )
 
 
@@ -523,6 +537,7 @@ def encode_image_device(
     upload_dtype=np.float16,
     cap: int = 32768,
     ow: int = 8192,
+    config=None,
 ) -> bytes:
     """Flagship single-chip path: AC sections are entropy-packed on device
     (ops.pack_kernels); only histograms, per-group maps, and the final
@@ -535,12 +550,14 @@ def encode_image_device(
     upload_dtype) or uint8 (sRGB-encoded 8-bit samples, linearized on device
     — the native path for 8-bit sources, quartering upload bytes).
     """
-    job = DeviceEncodeJob(img, distance, upload_dtype, cap, ow)
+    job = DeviceEncodeJob(img, distance, upload_dtype, cap, ow, config=config)
     job.pack()
     return job.result()
 
 
-def encode_images_device(imgs, distance=1.0, upload_dtype=np.float16, depth=2):
+def encode_images_device(
+    imgs, distance=1.0, upload_dtype=np.float16, depth=2, config=None
+):
     """Pipelined batch encode (generator of .jxl byte strings, input order).
 
     While image i's sections download and its codestream is assembled on the
@@ -553,7 +570,7 @@ def encode_images_device(imgs, distance=1.0, upload_dtype=np.float16, depth=2):
 
     q = deque()
     for img in imgs:
-        q.append(DeviceEncodeJob(img, distance, upload_dtype))
+        q.append(DeviceEncodeJob(img, distance, upload_dtype, config=config))
         if len(q) >= depth:
             job = q.popleft()
             job.pack()

@@ -344,6 +344,35 @@ def build_ac_device_code(hist64: np.ndarray, base_map: np.ndarray):
     return full, d.astype(np.float32)
 
 
+_STATIC_CODES_CACHE = None
+
+
+def load_static_codes():
+    """Static entropy codes for the one-pass tier (EncoderConfig
+    optimize_code=False) — the role of the reference's baked
+    static_entropy_codes.h:502-971 tables, except ours are trained on the
+    repo's test corpus by tools/gen_static_codes.py (counts are +1-smoothed
+    so every symbol has a code).
+
+    Returns (ac_full_code, ac_d_table, dc_code)."""
+    global _STATIC_CODES_CACHE
+    if _STATIC_CODES_CACHE is None:
+        import os
+
+        from ..ops.pack_kernels import ac_base64_map
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "constants", "static_codes.npz"
+        )
+        data = np.load(path)
+        ac_full, d_table = build_ac_device_code(
+            data["ac_hist64"], ac_base64_map()
+        )
+        dc_code = build_entropy_code(data["dc_hist"])
+        _STATIC_CODES_CACHE = (ac_full, d_table, dc_code)
+    return _STATIC_CODES_CACHE
+
+
 def build_entropy_code_from_cluster_histograms(clustered) -> EntropyCode:
     """Build Huffman codes for already-final histograms (no clustering)."""
     clustered = np.asarray(clustered, np.uint64)

@@ -1000,15 +1000,38 @@ def unpack_meta_u8(meta):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("distance", "inv_scale", "scale", "scale_dc", "x_qm_mul", "cap"),
+    static_argnames=(
+        "distance",
+        "inv_scale",
+        "scale",
+        "scale_dc",
+        "x_qm_mul",
+        "cap",
+        "cfl",
+        "blocks",
+    ),
 )
 def analyze_image_packed(
-    image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc, x_qm_mul, cap
+    image,
+    yb_valid,
+    xb_valid,
+    distance,
+    inv_scale,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    cap,
+    cfl=True,
+    blocks=True,
 ):
     """Device program A of the flagship path: whole image -> device-resident
     emission-ordered token stream (base-64 contexts) + base histograms + the
     packed per-group host maps. Only `hist`, `totals`, and `meta` are meant
-    to cross the link; `stream` stays resident and feeds pack_ac_sections."""
+    to cross the link; `stream` stays resident and feeds pack_ac_sections.
+
+    cfl / blocks: capability tiers (common.EncoderConfig) — computed
+    chroma-from-luma and 16x8/8x16 DCT selection; off mirrors the reference
+    built with OPTIMIZE_CHROMA_FROM_LUMA=0 / OPTIMIZE_BLOCK_SIZES=0."""
     from .pack_kernels import compact_stream, hist_base64, rows_from_tokens
 
     groups = extract_groups_device(image)
@@ -1022,11 +1045,21 @@ def analyze_image_packed(
     valid = (by_i[None] < yb_valid[:, None, None]) & (
         bx_i[None] < xb_valid[:, None, None]
     )
-    ytox, ytob = compute_cmap(coef8, valid)
-    strategy, is_first, coef_v, coef_h = compute_ac_strategy(
-        xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
-    )
-    raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
+    if cfl:
+        ytox, ytob = compute_cmap(coef8, valid)
+    else:
+        ytox = jnp.zeros((g, 4, 4), jnp.int32)
+        ytob = jnp.zeros((g, 4, 4), jnp.int32)
+    if blocks:
+        strategy, is_first, coef_v, coef_h = compute_ac_strategy(
+            xyb, coef8, qf, masking, ytox, ytob, distance, yb_valid, xb_valid
+        )
+        raw_qf = adjust_quant_field(strategy, is_first, raw_qf)
+    else:
+        strategy = jnp.zeros((g, 32, 32), jnp.int32)
+        is_first = jnp.ones((g, 32, 32), bool)
+        coef_v = jnp.zeros((g, 3, 16, 32, 128), F32)
+        coef_h = jnp.zeros((g, 3, 32, 16, 128), F32)
     tokens_full, count_full, quant_dc, _ = encode_groups(
         xyb,
         coef8,

@@ -1,0 +1,62 @@
+"""Capability tiers (common.EncoderConfig) mirror the reference's
+config.h:10-12 toggles: every combination must produce a decodable stream."""
+import numpy as np
+import pytest
+
+from jxl_tiny_tpu.common import EncoderConfig
+from jxl_tiny_tpu.decode.decoder import decode_jxl
+from jxl_tiny_tpu.encoder import encode_image_device
+
+
+def _image():
+    rng = np.random.RandomState(5)
+    h, w = 160, 288
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.07) * np.cos(yy * 0.05),
+            0.5 + 0.3 * np.sin((xx - yy) * 0.03),
+            0.4 + 0.2 * np.cos(xx * 0.02),
+        ]
+    ).astype(np.float32)
+    return np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.03, 0, 1)
+
+
+def _psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+@pytest.mark.parametrize(
+    "code,cfl,blocks",
+    [
+        (True, True, True),
+        (False, True, True),
+        (True, False, True),
+        (True, True, False),
+        (False, False, False),
+    ],
+)
+def test_tier_combinations_decode(code, cfl, blocks):
+    img = _image()
+    cfg = EncoderConfig(
+        optimize_code=code,
+        optimize_chroma_from_luma=cfl,
+        optimize_block_sizes=blocks,
+    )
+    data = encode_image_device(img, 1.0, upload_dtype=None, config=cfg)
+    pix = np.clip(decode_jxl(data), 0, 1)
+    p = _psnr(np.clip(img, 0, 1), pix)
+    assert p > 30.0, f"PSNR {p:.2f} too low for tier {cfg}"
+
+
+def test_static_codes_size_overhead_bounded():
+    """One-pass static codes trade size for latency. Small noisy synthetics
+    are the worst case for corpus-trained tables; bound the overhead loosely
+    (typical photographic content measures ~+5-10%)."""
+    img = _image()
+    d_two = encode_image_device(img, 1.0, upload_dtype=None)
+    d_one = encode_image_device(
+        img, 1.0, upload_dtype=None, config=EncoderConfig(optimize_code=False)
+    )
+    assert len(d_one) < len(d_two) * 1.35
