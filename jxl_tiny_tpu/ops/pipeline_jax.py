@@ -979,15 +979,19 @@ def unpack_meta_u8(meta):
     """Numpy inverse of _pack_meta_u8. meta: [G, META_BYTES] u8."""
     g = meta.shape[0]
     o = 0
-    qdc = meta[:, o : o + 6144].view(np.int16).reshape(g, 3, 32, 32)
+    qdc = (
+        np.ascontiguousarray(meta[:, o : o + 6144])
+        .view(np.int16)
+        .reshape(g, 3, 32, 32)
+    )
     o += 6144
     qf = meta[:, o : o + 1024].reshape(g, 32, 32)
     o += 1024
     sf = meta[:, o : o + 1024].reshape(g, 32, 32)
     o += 1024
-    ytox = meta[:, o : o + 16].view(np.int8).reshape(g, 4, 4)
+    ytox = np.ascontiguousarray(meta[:, o : o + 16]).view(np.int8).reshape(g, 4, 4)
     o += 16
-    ytob = meta[:, o : o + 16].view(np.int8).reshape(g, 4, 4)
+    ytob = np.ascontiguousarray(meta[:, o : o + 16]).view(np.int8).reshape(g, 4, 4)
     return dict(
         quant_dc=qdc,
         raw_qf=qf,

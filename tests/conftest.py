@@ -1,5 +1,7 @@
 import os
 
+os.environ["JXL_TPU_NO_CACHE"] = "1"  # cross-machine XLA cache reuse warns
+
 # Multi-device tests run on a virtual CPU mesh; set up before jax import.
 # NOTE: the JAX_PLATFORMS env var is ignored when the axon TPU plugin is
 # present; jax.config.update is authoritative.

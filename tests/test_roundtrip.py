@@ -55,6 +55,21 @@ def test_encode_matches_reference_quality(testdata, name):
     assert len(mine) < ref_size * 1.02, f"size {len(mine)} vs ref {ref_size}"
 
 
+@pytest.mark.parametrize("name", ["photo256", "gradient512", "odd131x77"])
+def test_device_path_matches_reference_quality(testdata, name):
+    """Flagship device-packed path vs the reference goldens: PSNR within
+    0.1 dB and size within 2% (measured: beats the reference on most)."""
+    from jxl_tiny_tpu.encoder import encode_image_device
+
+    dist, ref_psnr, ref_size = GOLDEN[name]
+    orig = read_pfm(os.path.join(testdata, f"{_orig_name(name)}.pfm"))
+    mine = encode_image_device(orig, dist, upload_dtype=None)
+    dec = decode_jxl(mine)
+    p = psnr(np.clip(dec, 0, 1), orig)
+    assert p > ref_psnr - 0.1, f"quality below reference: {p:.2f} vs {ref_psnr}"
+    assert len(mine) < ref_size * 1.02, f"size {len(mine)} vs ref {ref_size}"
+
+
 def test_distance_monotonicity(testdata):
     orig = read_pfm(os.path.join(testdata, "photo256.pfm"))
     sizes = [len(encode_image(orig, d)) for d in (0.5, 1.0, 2.0)]
