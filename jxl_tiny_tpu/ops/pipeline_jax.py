@@ -1036,10 +1036,34 @@ def analyze_image_packed(
     cfl / blocks: capability tiers (common.EncoderConfig) — computed
     chroma-from-luma and 16x8/8x16 DCT selection; off mirrors the reference
     built with OPTIMIZE_CHROMA_FROM_LUMA=0 / OPTIMIZE_BLOCK_SIZES=0."""
+    groups = extract_groups_device(image)
+    return analyze_groups_packed(
+        groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
+        x_qm_mul, cap, cfl, blocks,
+    )
+
+
+def analyze_groups_packed(
+    groups,
+    yb_valid,
+    xb_valid,
+    distance,
+    inv_scale,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    cap,
+    cfl=True,
+    blocks=True,
+):
+    """Group-batch core of program A (see analyze_image_packed). Per-group
+    data parallel throughout — the unit parallel.sharding shard_maps over a
+    device mesh (the group axis is the codec's only distribution dimension,
+    enc_frame.cc:714-715,837-838)."""
     from .pack_kernels import compact_stream, hist_base64, rows_from_tokens
 
-    groups = extract_groups_device(image)
     g = groups.shape[0]
+    groups = groups.astype(F32)
     xyb = to_xyb(groups)
     qf, masking, raw_qf = adaptive_quant_field(xyb, distance, inv_scale)
     blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)

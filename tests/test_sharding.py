@@ -1,0 +1,95 @@
+"""Shard-count invariance of the flagship (device-packed) path.
+
+The format's distribution model is pure data parallelism over groups with one
+integer all-reduce (histograms); encoding on 1 device and on an 8-device mesh
+must produce identical streams, histograms — and therefore identical final
+bytes (SURVEY.md section 4, multi-chip test requirement)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jxl_tiny_tpu.common import compute_distance_params
+from jxl_tiny_tpu.parallel.sharding import (
+    analyze_groups_packed_sharded,
+    pack_ac_sections_sharded,
+    make_mesh,
+)
+
+
+def _groups(n=8):
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32)
+    base = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.06) * np.cos(yy * 0.04),
+            0.5 + 0.3 * np.sin((xx + yy) * 0.025),
+            0.4 + 0.2 * np.cos(xx * 0.015),
+        ]
+    )
+    g = np.stack(
+        [
+            np.clip(
+                base * (0.6 + 0.05 * k) + rng.randn(3, 256, 256) * 0.02, 0, 1
+            )
+            for k in range(n)
+        ]
+    ).astype(np.float32)
+    return g
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_packed_path_shard_invariance():
+    groups = _groups(8)
+    yb = np.full(8, 32, np.int32)
+    xb = np.full(8, 32, np.int32)
+    distp = compute_distance_params(1.0)
+
+    mesh1 = make_mesh(jax.devices()[:1])
+    mesh8 = make_mesh(jax.devices()[:8])
+    out1, g1 = analyze_groups_packed_sharded(groups, yb, xb, distp, mesh1)
+    out8, g8 = analyze_groups_packed_sharded(groups, yb, xb, distp, mesh8)
+
+    assert np.array_equal(np.asarray(out1["totals"]), np.asarray(out8["totals"]))
+    assert np.array_equal(np.asarray(out1["hist"]), np.asarray(out8["hist"]))
+    assert np.array_equal(np.asarray(out1["meta"]), np.asarray(out8["meta"]))
+    s1 = np.asarray(out1["stream"])
+    s8 = np.asarray(out8["stream"])
+    for k in range(8):
+        t = int(np.asarray(out1["totals"])[k])
+        assert np.array_equal(s1[k, :t], s8[k, :t])
+
+    # Through program B: identical section bits regardless of mesh shape.
+    from jxl_tiny_tpu.entropy.entropy_write import build_ac_device_code
+    from jxl_tiny_tpu.ops.pack_kernels import ac_base64_map
+
+    _, d_table = build_ac_device_code(np.asarray(out1["hist"]), ac_base64_map())
+    cap = 32768
+    b1 = pack_ac_sections_sharded(
+        out1["stream"][:, :cap], out1["totals"], d_table, mesh1
+    )
+    b8 = pack_ac_sections_sharded(
+        out8["stream"][:, :cap], out8["totals"], d_table, mesh8
+    )
+    bits1 = np.asarray(b1["bits"])
+    bits8 = np.asarray(b8["bits"])
+    assert np.array_equal(bits1, bits8)
+    w1 = np.asarray(b1["words"]).reshape(-1)
+    w8 = np.asarray(b8["words"]).reshape(-1)
+    offs1 = np.asarray(b1["word_offs"])
+    offs8 = np.asarray(b8["word_offs"])
+    wcap1 = np.asarray(b1["words"]).shape[-1]
+    wcap8 = np.asarray(b8["words"]).shape[-1]
+    for k in range(8):
+        nw = (int(bits1[k]) + 31) // 32
+        # shard-local buffer bases: every device holds its own compacted buf
+        a = w1[0 * wcap1 + offs1[k] : 0 * wcap1 + offs1[k] + nw]
+        b = w8[k * wcap8 + offs8[k] : k * wcap8 + offs8[k] + nw]
+        # mask the final partial word (tail bits are unspecified)
+        rem = int(bits1[k]) & 31
+        if nw and rem:
+            mask = (1 << rem) - 1
+            assert np.array_equal(a[:-1], b[:-1])
+            assert (int(a[-1]) & mask) == (int(b[-1]) & mask)
+        else:
+            assert np.array_equal(a, b)
