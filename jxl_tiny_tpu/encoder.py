@@ -556,7 +556,8 @@ def encode_image_device(
 
 
 def encode_images_device(
-    imgs, distance=1.0, upload_dtype=np.float16, depth=2, config=None
+    imgs, distance=1.0, upload_dtype=np.float16, depth=2, config=None,
+    retries=1,
 ):
     """Pipelined batch encode (generator of .jxl byte strings, input order).
 
@@ -565,20 +566,31 @@ def encode_images_device(
     replacement for the reference's per-image ThreadPool fan-out
     (base/data_parallel.h). Sustained throughput approaches
     max(link, device, host) instead of their sum.
-    """
+
+    retries: per-image retry count (the batch-driver failure-recovery level;
+    encoding is short-lived so transient backend errors are retried from the
+    pixels rather than checkpointed, SURVEY.md section 5)."""
     from collections import deque
+
+    def finish(job, img):
+        for attempt in range(retries + 1):
+            try:
+                job.pack()
+                return job.result()
+            except Exception:
+                if attempt == retries:
+                    raise
+                job = DeviceEncodeJob(img, distance, upload_dtype, config=config)
 
     q = deque()
     for img in imgs:
-        q.append(DeviceEncodeJob(img, distance, upload_dtype, config=config))
+        q.append((DeviceEncodeJob(img, distance, upload_dtype, config=config), img))
         if len(q) >= depth:
-            job = q.popleft()
-            job.pack()
-            yield job.result()
+            job, im = q.popleft()
+            yield finish(job, im)
     while q:
-        job = q.popleft()
-        job.pack()
-        yield job.result()
+        job, im = q.popleft()
+        yield finish(job, im)
 
 
 def encode_file(pfm_path, out_path, distance=1.0, analyze_fn=None):

@@ -37,8 +37,14 @@ W = 128  # tokens per row capacity (= coeffs of a 2-block transform)
 
 
 def _interpret():
-    # Pallas TPU kernels run interpreted on CPU (tests / multichip dry runs).
-    return jax.default_backend() == "cpu"
+    # Pallas TPU kernels run interpreted on CPU (tests / multichip dry runs)
+    # and under utils.debug.debug_mode (the sanitizer-build equivalent).
+    import os
+
+    return (
+        jax.default_backend() == "cpu"
+        or os.environ.get("JXL_TPU_PALLAS_INTERPRET") == "1"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,57 @@
+"""Aux subsystems: profiling harness, debug mode, batch pipeline + retry."""
+import numpy as np
+
+from jxl_tiny_tpu.decode.decoder import decode_jxl
+
+
+def _img(seed=9, h=96, w=128):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.1),
+            0.5 + 0.3 * np.cos(yy * 0.08),
+            0.4 + 0.2 * np.sin((xx + yy) * 0.05),
+        ]
+    ).astype(np.float32)
+    return np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.02, 0, 1)
+
+
+def test_stage_timer():
+    from jxl_tiny_tpu.utils import StageTimer
+
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    rep = t.report()
+    assert set(rep["stages_ms"]) == {"a", "b"}
+
+
+def test_encode_report():
+    from jxl_tiny_tpu.utils import encode_report
+
+    data, rep = encode_report(_img(), 1.0, repeats=1, upload_dtype=None)
+    assert rep["bytes"] == len(data) > 0
+    assert rep["mps_best"] > 0
+    assert decode_jxl(data).shape == (3, 96, 128)
+
+
+def test_debug_mode_roundtrip():
+    from jxl_tiny_tpu.utils import debug_mode
+    from jxl_tiny_tpu.encoder import encode_image_device
+
+    with debug_mode():
+        d = encode_image_device(_img(), 1.0, upload_dtype=None)
+    assert decode_jxl(d).shape == (3, 96, 128)
+
+
+def test_batch_pipeline_order_and_retry():
+    from jxl_tiny_tpu.encoder import encode_images_device, encode_image_device
+
+    imgs = [_img(s) for s in (1, 2, 3)]
+    outs = list(encode_images_device(imgs, 1.0, upload_dtype=None))
+    assert len(outs) == 3
+    for im, d in zip(imgs, outs):
+        assert d == encode_image_device(im, 1.0, upload_dtype=None)
