@@ -110,17 +110,19 @@ def assemble_codestream(
     ac_writers=None,
     ac_code=None,
     dc_code=None,
+    dc_writers=None,
 ) -> bytes:
     """Build sections, optimize entropy codes, pack the final codestream.
 
-    ac_writers/ac_code: pre-serialized AC group sections + their entropy code
-    (the device-packed path, ops.pack_kernels) — AC histogramming and token
-    packing are skipped. dc_code: static DC code (one-pass tier)."""
+    ac_writers/ac_code and dc_writers/dc_code: pre-serialized sections + the
+    codes they were packed with (the device-packed path) — histogramming and
+    token packing are skipped for those. dc_code alone: static code tier."""
     # --- DC group sections ---
     dc_ops = []
-    for dgy in range(dim.ysize_dc_groups):
-        for dgx in range(dim.xsize_dc_groups):
-            dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
+    if dc_writers is None:
+        for dgy in range(dim.ysize_dc_groups):
+            for dgx in range(dim.xsize_dc_groups):
+                dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
 
     # --- AC group sections ---
     if ac_ops is None and ac_writers is None:
@@ -148,8 +150,13 @@ def assemble_codestream(
     w = BitWriter()
     S.write_dc_global(w, distp, dim.num_dc_groups, dc_code)
     sections.append(w)
-    for ops in dc_ops:
-        sections.append(S.serialize_section(ops, dc_code))
+    if dc_writers is not None:
+        if callable(dc_writers):
+            dc_writers = dc_writers()
+        sections.extend(dc_writers)
+    else:
+        for ops in dc_ops:
+            sections.append(S.serialize_section(ops, dc_code))
     w = BitWriter()
     S.write_ac_global(w, dim.num_groups, ac_code)
     sections.append(w)
@@ -438,26 +445,51 @@ class DeviceEncodeJob:
         self.out_a = run_a(cap)  # dispatched; not synced
 
     def pack(self):
-        """Sync program A's small outputs; build the entropy code; dispatch
-        program B."""
+        """Sync program A's small outputs; build the entropy codes; dispatch
+        the section-packing programs (AC always; DC when on-device DC is
+        active)."""
         import jax.numpy as jnp
-        from .ops.pipeline_jax import unpack_meta_u8
         from .ops.pack_kernels import pack_ac_sections, ac_base64_map
-        from .entropy.entropy_write import build_ac_device_code
+        from .ops.dc_kernels import pack_dc_sections, DC_CAP
+        from .entropy.entropy_write import (
+            build_ac_device_code,
+            build_dc_device_code,
+        )
 
         totals = np.asarray(self.out_a["totals"])
         if int(totals.max(initial=0)) > self.cap:
             self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
             self.out_a = self._run_a(self.cap)
-        self.meta = unpack_meta_u8(np.asarray(self.out_a["meta"]))
+        self.meta = None  # host maps fetched only by the fallback path
         self.dc_code = None
+        hists = np.asarray(self.out_a["hists"])
         if self.config.optimize_code:
-            hist = np.asarray(self.out_a["hist"])
-            self.full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+            self.full_code, d_table = build_ac_device_code(
+                hists[0], ac_base64_map()
+            )
+            self.dc_code, d_table_dc = build_dc_device_code(
+                hists[1][: C.NUM_DC_CONTEXTS]
+            )
         else:  # one-pass static codes (the reference's OPTIMIZE_CODE=0 tier)
-            from .entropy.entropy_write import load_static_codes
+            from .entropy.entropy_write import (
+                load_static_codes,
+                build_dc_device_code as _bdc,
+            )
 
             self.full_code, d_table, self.dc_code = load_static_codes()
+            from .entropy.entropy_write import _static_dc_table
+
+            d_table_dc = _static_dc_table()
+
+        # Program B (DC): fixed-layout entries -> section words.
+        gd = self.dim.num_dc_groups
+        self._ow_dc = 8192
+        self._wcap_dc = min(1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024)
+        self._d_dc = jnp.asarray(d_table_dc)
+        self.out_dc = pack_dc_sections(
+            self.out_a["dc_layout"], self._d_dc,
+            ow=self._ow_dc, wcap=self._wcap_dc,
+        )
 
         # wcap sized for worst-case alignment slack; the [1, wcap] output
         # block must fit VMEM, so enormous images would need the padded
@@ -470,6 +502,27 @@ class DeviceEncodeJob:
         self.out_b = pack_ac_sections(
             self._stream, self._totals_d, self._d_dev, ow=self.ow, wcap=self.wcap
         )
+
+    @staticmethod
+    def _download_writers(out, bits, wcap, n):
+        """Slice the compacted section buffer into per-section BitWriters."""
+        offs = np.asarray(out["word_offs"])
+        nblk = (bits + (32 * 128 - 1)) // (32 * 128)
+        used = int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
+        if used > wcap:
+            raise NotImplementedError(
+                "wcap overflow: image too large for single-buffer section "
+                "compaction; use encode_image_jax"
+            )
+        dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
+        words = np.asarray(out["words"][:dl])
+        return [
+            _writer_from_bits(
+                words[offs[k] : offs[k] + (bits[k] + 31) // 32].view(np.uint8),
+                int(bits[k]),
+            )
+            for k in range(n)
+        ]
 
     def _ac_writers(self):
         from .ops.pack_kernels import pack_ac_sections
@@ -485,49 +538,33 @@ class DeviceEncodeJob:
                 self._stream, self._totals_d, self._d_dev,
                 ow=self.ow, wcap=self.wcap,
             )
-        offs = np.asarray(self.out_b["word_offs"])
-        nblk = (bits + (32 * 128 - 1)) // (32 * 128)
-        used = int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
-        if used > self.wcap:
-            raise NotImplementedError(
-                "wcap overflow: image too large for single-buffer section "
-                "compaction; use encode_image_jax"
+        return self._download_writers(
+            self.out_b, bits, self.wcap, self.dim.num_groups
+        )
+
+    def _dc_writers(self):
+        from .ops.dc_kernels import pack_dc_sections
+
+        while True:
+            bits = np.asarray(self.out_dc["bits"])
+            if int(bits.max(initial=0)) <= self._ow_dc * 32 - 32:
+                break
+            self._ow_dc = _next_bucket(
+                (8192, 16384, 32768), (int(bits.max()) + 31) // 32
             )
-        dl = min(self.wcap, -(-max(used, 1) // 65536) * 65536)
-        words = np.asarray(self.out_b["words"][:dl])
-        return [
-            _writer_from_bits(
-                words[offs[k] : offs[k] + (bits[k] + 31) // 32].view(np.uint8),
-                int(bits[k]),
+            self.out_dc = pack_dc_sections(
+                self.out_a["dc_layout"], self._d_dc,
+                ow=self._ow_dc, wcap=self._wcap_dc,
             )
-            for k in range(self.dim.num_groups)
-        ]
+        return self._download_writers(
+            self.out_dc, bits, self._wcap_dc, self.dim.num_dc_groups
+        )
 
     def result(self) -> bytes:
-        meta = self.meta
-        groups = {}
-        i = 0
-        for gy in range(self.dim.ysize_groups):
-            for gx in range(self.dim.xsize_groups):
-                yb, xb = int(self.yb_arr[i]), int(self.xb_arr[i])
-                ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
-                gr = GroupResult(
-                    None,
-                    meta["strategy"][i],
-                    meta["is_first"][i],
-                    meta["raw_qf"][i],
-                    meta["ytox"][i, :ty, :tx],
-                    meta["ytob"][i, :ty, :tx],
-                    yb,
-                    xb,
-                )
-                gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
-                groups[(gy, gx)] = gr
-                i += 1
         return assemble_codestream(
-            groups, self.dim, self.distp,
+            None, self.dim, self.distp,
             ac_writers=self._ac_writers, ac_code=self.full_code,
-            dc_code=self.dc_code,
+            dc_code=self.dc_code, dc_writers=self._dc_writers,
         )
 
 

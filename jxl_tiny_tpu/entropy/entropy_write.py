@@ -344,6 +344,18 @@ def build_ac_device_code(hist64: np.ndarray, base_map: np.ndarray):
     return full, d.astype(np.float32)
 
 
+def build_dc_device_code(hist45: np.ndarray):
+    """DC entropy code + [64, 64] device table (rows >= num contexts zero)
+    for the device DC-section packer (ops.dc_kernels)."""
+    code = build_entropy_code(np.asarray(hist45))
+    cl = code.context_map.astype(np.int64)
+    d = np.zeros((64, 64), np.uint32)
+    d[: len(cl)] = (code.token_depths[cl].astype(np.uint32) << 16) | code.bits[
+        cl
+    ].astype(np.uint32)
+    return code, d.astype(np.float32)
+
+
 _STATIC_CODES_CACHE = None
 
 
@@ -368,9 +380,14 @@ def load_static_codes():
         ac_full, d_table = build_ac_device_code(
             data["ac_hist64"], ac_base64_map()
         )
-        dc_code = build_entropy_code(data["dc_hist"])
-        _STATIC_CODES_CACHE = (ac_full, d_table, dc_code)
-    return _STATIC_CODES_CACHE
+        dc_code, d_table_dc = build_dc_device_code(data["dc_hist"])
+        _STATIC_CODES_CACHE = (ac_full, d_table, dc_code, d_table_dc)
+    return _STATIC_CODES_CACHE[:3]
+
+
+def _static_dc_table():
+    load_static_codes()
+    return _STATIC_CODES_CACHE[3]
 
 
 def build_entropy_code_from_cluster_histograms(clustered) -> EntropyCode:

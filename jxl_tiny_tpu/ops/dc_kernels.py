@@ -1,0 +1,282 @@
+"""Device-side DC-group section building (DC tokens + AC metadata).
+
+Mirrors WriteDCGroup (enc_frame.cc:536-570): per DC group, the section is
+  header bits | DC tokens (clamped-gradient-predicted, channels Y,X,B)
+  | nonzero-count bits | ytox/ytob gradient tokens | AC-strategy tokens
+  | quant-field delta tokens | EPF tokens
+The reference emits these serially on the host; here the whole section is a
+*fixed flat layout* of u32 entries per DC group — real tokens, raw-bit
+entries, and zero-width padding — so no compaction pass is needed: the
+scalar bit-pack kernel (pack_kernels.bitpack_groups) skips nbits=0 slots by
+construction, and raw header bits are just literal (data, nbits) entries.
+Prediction contexts are computed vectorized: the reference's sequential
+raster scans depend only on *original* neighbor values (enc_frame.cc:296-303,
+340-408), so gradients are shifted-neighbor arithmetic and the
+"previous first cell" contexts are an exclusive running-max + gather.
+
+Entry encoding in the layout word (u32 = tag<<16 | value):
+  tag < 45          token: DC/meta context id, value = token value
+  tag = 0x8000|n    raw bits: emit value as n literal bits
+  tag = 0xFFFF      padding: zero width
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .. import constants as C
+
+PD = 256  # DC-group plane dim in blocks (2048 px / 8)
+RAW = 0x8000
+PAD = 0xFFFF
+
+# Fixed layout offsets (in u32 entries) per DC group.
+_HDR = 2
+_DC0 = _HDR
+_DCN = 3 * PD * PD
+_MID = _DC0 + _DCN
+_CMAP0 = _MID + 2
+_CMAPN = 2 * 32 * 32
+_STRAT0 = _CMAP0 + _CMAPN
+_QF0 = _STRAT0 + PD * PD
+_EPF0 = _QF0 + PD * PD
+LAYOUT = _EPF0 + PD * PD
+DC_CAP = -(-LAYOUT // 2048) * 2048  # bitpack chunk multiple
+
+
+def _grad_step_tables():
+    """GRADIENT_CTX_LUT (enc_frame.cc:224-285) as two step functions of the
+    clamped gradient distance — arbitrary piecewise-constant LUTs evaluate as
+    a base value plus threshold-gated deltas (gather-free on TPU)."""
+    lut = C.GRADIENT_CTX_LUT.astype(np.int64)
+
+    def steps(side):  # side=+1: lut[512+d], side=-1: lut[512-d]
+        vals = [int(lut[512 + side * d]) for d in range(0, 512)]
+        ths, dls = [], []
+        for d in range(1, 512):
+            if vals[d] != vals[d - 1]:
+                ths.append(d)
+                dls.append(vals[d] - vals[d - 1])
+        return np.array(ths, np.int32), np.array(dls, np.int32), vals[0]
+
+    return steps(+1), steps(-1)
+
+
+(_POS_T, _POS_D, _BASE0), (_NEG_T, _NEG_D, _) = _grad_step_tables()
+
+
+def gradient_ctx(grad):
+    """grad: int array -> DC gradient context ids (no gathers)."""
+    d = jnp.clip(grad, -512, 511)
+    pos = jnp.maximum(d, 0)
+    neg = jnp.maximum(-d, 0)
+    ctx = jnp.full(d.shape, _BASE0, jnp.int32)
+    for t, dl in zip(_POS_T.tolist(), _POS_D.tolist()):
+        ctx = ctx + jnp.where(pos >= t, dl, 0)
+    for t, dl in zip(_NEG_T.tolist(), _NEG_D.tolist()):
+        ctx = ctx + jnp.where(neg >= t, dl, 0)
+    return ctx
+
+
+def _pack_signed(v):
+    v = v.astype(jnp.int32)
+    return jnp.where(v >= 0, 2 * v, -2 * v - 1).astype(jnp.uint32)
+
+
+def _shift0(a, d, axis):
+    z = jnp.zeros_like(a)
+    take = [slice(None)] * a.ndim
+    zs = [slice(None)] * a.ndim
+    if d > 0:
+        take[axis] = slice(d, None)
+        zs[axis] = slice(0, d)
+        return jnp.concatenate([a[tuple(take)], z[tuple(zs)]], axis=axis)
+    take[axis] = slice(None, d)
+    zs[axis] = slice(0, -d)
+    return jnp.concatenate([z[tuple(zs)], a[tuple(take)]], axis=axis)
+
+
+def gradient_tokens(plane, valid):
+    """Vectorized _gradient_tokens (enc_frame.cc:287-316) on [Gd, H, W]
+    planes. Returns (ctx, value) at every position; only `valid` positions
+    are meaningful. Boundary rules: left of col 0 is the end of the previous
+    row's col 0 chain (p[r-1, 0]); row 0 uses left as top/topleft."""
+    p = plane.astype(jnp.int32)
+    left = _shift0(p, -1, -1)
+    left = left.at[:, :, 0].set(_shift0(p[:, :, 0], -1, -1))
+    top = _shift0(p, -1, -2)
+    top = top.at[:, 0, :].set(left[:, 0, :])
+    topleft = _shift0(left, -1, -2)
+    topleft = topleft.at[:, 0, :].set(left[:, 0, :])
+    topleft = topleft.at[:, :, 0].set(left[:, :, 0])
+    grad = top + left - topleft
+    mn = jnp.minimum(top, left)
+    mx = jnp.maximum(top, left)
+    guess = jnp.where(topleft < mn, mx, jnp.where(topleft > mx, mn, grad))
+    ctx = gradient_ctx(grad)
+    return ctx, _pack_signed(p - guess)
+
+
+def regroup_dc(arr, ygr, xgr, trailing):
+    """[G, (C,) t, t] per-group maps -> [Gd, (C,) 8t, 8t] DC-group planes.
+
+    G = ygr*xgr groups in raster order with ygr/xgr multiples of 8 (callers
+    pad with zero groups); t = 32 for block maps, 4 for cmap tile maps."""
+    gy8, gx8 = ygr // 8, xgr // 8
+    t = arr.shape[-1]
+    if trailing:  # [G, C, t, t]
+        c = arr.shape[1]
+        a = arr.reshape(gy8, 8, gx8, 8, c, t, t)
+        a = a.transpose(0, 2, 4, 1, 5, 3, 6)
+        return a.reshape(gy8 * gx8, c, 8 * t, 8 * t)
+    a = arr.reshape(gy8, 8, gx8, 8, t, t)
+    a = a.transpose(0, 2, 1, 4, 3, 5)
+    return a.reshape(gy8 * gx8, 8 * t, 8 * t)
+
+
+def _prev_first_scan(first_flat, values_flat, init):
+    """prev[i] = values at the last first-cell strictly before i (raster);
+    init where none. first_flat: [Gd, N] bool; values_flat: [Gd, N]."""
+    n = first_flat.shape[1]
+    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
+    marked = jnp.where(first_flat, idx, -1)
+    shifted = jnp.concatenate(
+        [jnp.full_like(marked[:, :1], -1), marked[:, :-1]], axis=1
+    )
+    prev_idx = jax.lax.cummax(shifted, axis=1)
+    got = jnp.take_along_axis(values_flat, jnp.maximum(prev_idx, 0), axis=1)
+    return jnp.where(prev_idx >= 0, got, init)
+
+
+def build_dc_layout(quant_dc, raw_qf, strategy, is_first, ytox, ytob,
+                    ydb, xdb, ty, tx, nb_blocks):
+    """Per-DC-group section entry layout [Gd, DC_CAP] u32.
+
+    quant_dc: [Gd,3,PD,PD] i32 (X,Y,B); raw_qf/strategy/is_first: [Gd,PD,PD];
+    ytox/ytob: [Gd,32,32] i32; ydb/xdb: [Gd] valid block dims; ty/tx: [Gd]
+    valid cmap tile dims; nb_blocks: [Gd] ceil_log2(ydb*xdb) bit width."""
+    gd = quant_dc.shape[0]
+    by = jnp.arange(PD)[None, :, None]
+    bx = jnp.arange(PD)[None, None, :]
+    valid = (by < ydb[:, None, None]) & (bx < xdb[:, None, None])
+
+    def entries(ctx, val, ok):
+        w = (ctx.astype(jnp.uint32) << 16) | (val & 0xFFFF)
+        return jnp.where(ok, w, jnp.uint32(PAD) << 16).reshape(gd, -1)
+
+    parts = []
+    hdr = jnp.tile(
+        jnp.array(
+            [((RAW | 2) << 16) | 0, ((RAW | 4) << 16) | 3], jnp.uint32
+        )[None],
+        (gd, 1),
+    )
+    parts.append(hdr)
+    # DC tokens, channel order Y, X, B (enc_frame.cc:292).
+    for ch in (1, 0, 2):
+        ctx, val = gradient_tokens(quant_dc[:, ch], valid)
+        parts.append(entries(ctx, val, valid))
+    # Mid header: num_ac_blocks-1 in nb_blocks bits, then (4,3).
+    num_ac = (is_first & valid).sum(axis=(1, 2)).astype(jnp.uint32)
+    mid0 = (((RAW | nb_blocks).astype(jnp.uint32)) << 16) | (
+        (num_ac - 1) & 0xFFFF
+    )
+    mid0 = jnp.where(nb_blocks > 0, mid0, jnp.uint32(PAD) << 16)
+    mid1 = jnp.full((gd,), ((RAW | 4) << 16) | 3, jnp.uint32)
+    parts.append(jnp.stack([mid0, mid1], axis=1))
+    # Cmap maps: ytox (ctx 2), ytob (ctx 1), gradient predicted.
+    tyv = jnp.arange(32)[None, :, None]
+    txv = jnp.arange(32)[None, None, :]
+    cvalid = (tyv < ty[:, None, None]) & (txv < tx[:, None, None])
+    for cm, cc in ((ytox, 2), (ytob, 1)):
+        _, val = gradient_tokens(cm, cvalid)
+        parts.append(entries(jnp.full_like(val, cc, jnp.int32), val, cvalid))
+    # AC strategy tokens at first cells; ctx from previous first cell's code.
+    codes = jnp.asarray(C.STRATEGY_CODE)[strategy]  # [Gd,PD,PD]
+    firstv = (is_first & valid).reshape(gd, -1)
+    codes_f = codes.reshape(gd, -1)
+    prev = _prev_first_scan(firstv, codes_f, 0)
+    sctx = jnp.where(prev > 11, 7, jnp.where(prev > 5, 8, jnp.where(prev > 3, 9, 10)))
+    parts.append(entries(sctx.reshape(gd, PD, PD), _pack_signed(codes), firstv.reshape(gd, PD, PD)))
+    # Quant field tokens: delta vs previous first cell's value, ctx from it.
+    cur = raw_qf.astype(jnp.int32) - 1
+    left0 = codes_f[:, :1]  # enc_frame.cc:392: prev seeds from strategy code
+    prevq = _prev_first_scan(firstv, cur.reshape(gd, -1), 0)
+    isf_before = jnp.cumsum(firstv.astype(jnp.int32), axis=1) - firstv
+    prevq = jnp.where(isf_before > 0, prevq, left0)
+    qctx = jnp.where(prevq > 11, 3, jnp.where(prevq > 5, 4, jnp.where(prevq > 3, 5, 6)))
+    qval = _pack_signed(cur.reshape(gd, -1) - prevq)
+    parts.append(entries(qctx.reshape(gd, PD, PD), qval.reshape(gd, PD, PD), firstv.reshape(gd, PD, PD)))
+    # EPF: one token per valid block, ctx 0, PackSigned(4) == 8.
+    parts.append(
+        entries(jnp.zeros((gd, PD, PD), jnp.int32), jnp.full((gd, PD, PD), 8, jnp.uint32), valid)
+    )
+    layout = jnp.concatenate(parts, axis=1)
+    pad = DC_CAP - layout.shape[1]
+    layout = jnp.pad(layout, ((0, 0), (0, pad)), constant_values=np.uint32(PAD) << 16)
+    return layout
+
+
+def dc_hist(layout):
+    """[Gd, DC_CAP] layout -> [64, 64] histogram over DC contexts (rows >= 45
+    stay zero; raw/pad entries excluded)."""
+    from .pack_kernels import _uint_token_extra
+
+    tag = (layout >> 16).astype(jnp.int32)
+    is_tok = tag < 45
+    tok, _, _ = _uint_token_extra(layout & 0xFFFF)
+    ar = jnp.arange(64)
+    a = ((tag[..., None] == ar) & is_tok[..., None]).astype(jnp.bfloat16)
+    b = (tok[..., None] == ar).astype(jnp.bfloat16)
+    h = jnp.einsum("gtc,gtk->ck", a, b, preferred_element_type=jnp.float32)
+    return h.astype(jnp.uint32)
+
+
+def dc_token_data_bits(layout, d_table):
+    """Layout entries -> (data, nbits) for the bit-pack kernel.
+
+    d_table: [64, 64] f32 depth*65536+bits (DC code composed with its
+    clustering; rows >= 45 unused)."""
+    from .pack_kernels import _uint_token_extra
+
+    tag = (layout >> 16).astype(jnp.int32)
+    value = layout & 0xFFFF
+    is_raw = (tag & RAW) != 0
+    is_pad = tag == PAD
+    tok, nb_extra, extra = _uint_token_extra(value)
+    base = jnp.clip(tag, 0, 63)
+    ar = jnp.arange(64)
+    a = (base[..., None] == ar).astype(jnp.float32)
+    ad = jnp.einsum(
+        "gtc,ck->gtk", a, d_table,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    b = (tok[..., None] == ar).astype(jnp.float32)
+    packed = (ad * b).sum(axis=-1).astype(jnp.int32)
+    depth = (packed >> 16).astype(jnp.uint32)
+    code = (packed & 0xFFFF).astype(jnp.uint32)
+    data = code | (extra.astype(jnp.uint32) << depth)
+    nbits = depth.astype(jnp.int32) + nb_extra
+    data = jnp.where(is_raw, value, data)
+    nbits = jnp.where(is_raw, tag & 0xFF, nbits)
+    data = jnp.where(is_pad, 0, data)
+    nbits = jnp.where(is_pad, 0, nbits)
+    return data, nbits
+
+
+@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
+def pack_dc_sections(layout, d_table, ow, wcap):
+    """Device program B for DC sections: layout + code table -> section
+    words (same bitpack + word-compaction kernels as the AC path)."""
+    from .pack_kernels import bitpack_groups, compact_sections
+
+    data, nbits = dc_token_data_bits(layout, d_table)
+    ends = jnp.cumsum(nbits, axis=1)
+    pos = ends - nbits
+    bits = ends[:, -1].astype(jnp.int32)
+    totals = jnp.full((layout.shape[0],), layout.shape[1], jnp.int32)
+    packed = bitpack_groups(data, pos, totals, ow)
+    words, offs = compact_sections(packed, bits, wcap)
+    return dict(words=words, bits=bits, word_offs=offs)

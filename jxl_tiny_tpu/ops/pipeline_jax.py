@@ -1037,10 +1037,17 @@ def analyze_image_packed(
     chroma-from-luma and 16x8/8x16 DCT selection; off mirrors the reference
     built with OPTIMIZE_CHROMA_FROM_LUMA=0 / OPTIMIZE_BLOCK_SIZES=0."""
     groups = extract_groups_device(image)
-    return analyze_groups_packed(
+    out = analyze_groups_packed(
         groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
-        x_qm_mul, cap, cfl, blocks,
+        x_qm_mul, cap, cfl, blocks, return_maps=True,
     )
+    maps = out.pop("_maps")
+    dc_layout, dchist = dc_layout_from_maps(
+        *maps, ysize=image.shape[1], xsize=image.shape[2]
+    )
+    out["dc_layout"] = dc_layout
+    out["hists"] = jnp.concatenate([out.pop("hist")[None], dchist[None]])
+    return out
 
 
 def analyze_groups_packed(
@@ -1055,6 +1062,7 @@ def analyze_groups_packed(
     cap,
     cfl=True,
     blocks=True,
+    return_maps=False,
 ):
     """Group-batch core of program A (see analyze_image_packed). Per-group
     data parallel throughout — the unit parallel.sharding shard_maps over a
@@ -1108,7 +1116,68 @@ def analyze_groups_packed(
     stream, totals = compact_stream(rows_tok, rows_cnt, cap)
     hist = hist_base64(stream[:, :cap], jnp.minimum(totals, cap))
     meta = _pack_meta_u8(quant_dc, raw_qf, strategy, is_first, ytox, ytob)
-    return dict(stream=stream, totals=totals, hist=hist, meta=meta)
+    out = dict(stream=stream, totals=totals, hist=hist, meta=meta)
+    if return_maps:
+        out["_maps"] = (quant_dc, raw_qf, strategy, is_first, ytox, ytob)
+    return out
+
+
+def dc_layout_from_maps(
+    quant_dc, raw_qf, strategy, is_first, ytox, ytob, ysize, xsize
+):
+    """Per-group maps -> device DC-section layout + DC histogram.
+
+    ysize/xsize: static pixel dims (group grid geometry derives statically).
+    Returns (dc_layout [Gd, DC_CAP] u32, dc_hist [64, 64] u32)."""
+    from ..common import div_ceil
+    from . import dc_kernels as DK
+
+    ygr = div_ceil(ysize, 256)
+    xgr = div_ceil(xsize, 256)
+    ygr_p = div_ceil(ygr, 8) * 8
+    xgr_p = div_ceil(xgr, 8) * 8
+
+    def pad_grid(a):
+        # [G=ygr*xgr, ...] raster -> padded [ygr_p*xgr_p, ...] raster
+        a = a.reshape((ygr, xgr) + a.shape[1:])
+        a = jnp.pad(
+            a, ((0, ygr_p - ygr), (0, xgr_p - xgr)) + ((0, 0),) * (a.ndim - 2)
+        )
+        return a.reshape((ygr_p * xgr_p,) + a.shape[2:])
+
+    qdc = DK.regroup_dc(pad_grid(quant_dc.astype(jnp.int32)), ygr_p, xgr_p, True)
+    qf = DK.regroup_dc(pad_grid(raw_qf.astype(jnp.int32)), ygr_p, xgr_p, False)
+    st = DK.regroup_dc(pad_grid(strategy.astype(jnp.int32)), ygr_p, xgr_p, False)
+    fi = DK.regroup_dc(
+        pad_grid(is_first.astype(jnp.int32)), ygr_p, xgr_p, False
+    ).astype(bool)
+    yx = DK.regroup_dc(pad_grid(ytox.astype(jnp.int32)), ygr_p, xgr_p, False)
+    yb_ = DK.regroup_dc(pad_grid(ytob.astype(jnp.int32)), ygr_p, xgr_p, False)
+
+    # Static per-DC-group valid dims (enc_frame.cc:48-93 geometry).
+    ydg, xdg = div_ceil(ysize, 2048), div_ceil(xsize, 2048)
+    ydb = np.zeros(ydg * xdg, np.int32)
+    xdb = np.zeros(ydg * xdg, np.int32)
+    tyv = np.zeros(ydg * xdg, np.int32)
+    txv = np.zeros(ydg * xdg, np.int32)
+    nbv = np.zeros(ydg * xdg, np.int32)
+    i = 0
+    for dy in range(ydg):
+        for dx in range(xdg):
+            ydb[i] = div_ceil(min(2048, ysize - dy * 2048), 8)
+            xdb[i] = div_ceil(min(2048, xsize - dx * 2048), 8)
+            tyv[i] = div_ceil(ydb[i] * 8, 64)
+            txv[i] = div_ceil(xdb[i] * 8, 64)
+            nbv[i] = int(ydb[i] * xdb[i] - 1).bit_length()
+            i += 1
+    # The padded grid may contain more (empty) DC groups than the image has
+    # only when ygr_p/8 > ydg — impossible: ydg == ygr_p//8 by construction.
+    layout = DK.build_dc_layout(
+        qdc, qf, st, fi, yx, yb_,
+        jnp.asarray(ydb), jnp.asarray(xdb), jnp.asarray(tyv), jnp.asarray(txv),
+        jnp.asarray(nbv),
+    )
+    return layout, DK.dc_hist(layout)
 
 
 def make_analyze_fn():
