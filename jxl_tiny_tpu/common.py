@@ -150,8 +150,10 @@ def compute_distance_params(distance: float) -> DistanceParams:
 
 def clamp_distance(distance: float) -> float:
     """enc_file.cc:57-65."""
+    from .errors import InvalidInputError
+
     if distance < 0.0:
-        raise ValueError(f"invalid distance {distance}")
+        raise InvalidInputError(f"invalid distance {distance}")
     if distance == 0.0:
-        raise ValueError("lossless is not supported")
+        raise InvalidInputError("lossless is not supported")
     return max(distance, 0.03)

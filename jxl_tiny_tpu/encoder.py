@@ -423,6 +423,10 @@ class DeviceEncodeJob:
         if img.dtype == np.uint8:
             up = img  # sRGB u8: linearized on device (extract_groups_device)
         else:
+            if upload_dtype == np.float16 and img.shape[1] * img.shape[2] < 2e6:
+                # f16 mantissa noise tilts the adaptive-quant heuristics on
+                # very flat content; below ~2MP the f32 upload is cheap.
+                upload_dtype = None
             up = img if upload_dtype is None else img.astype(upload_dtype)
         self._kwargs = dict(
             distance=float(self.distp.distance),

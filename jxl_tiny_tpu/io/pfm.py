@@ -6,6 +6,8 @@ endianness, rows are stored bottom-up. Returns planar [3, H, W] float32.
 """
 import numpy as np
 
+from ..errors import InvalidInputError
+
 
 def read_pfm(path) -> np.ndarray:
     with open(path, "rb") as f:
@@ -21,7 +23,7 @@ def read_pfm(path) -> np.ndarray:
 
     magic, pos = _token(0)
     if magic != b"PF":
-        raise ValueError(f"not a color PFM file: magic={magic!r}")
+        raise InvalidInputError(f"not a color PFM file: magic={magic!r}")
     w_s, pos = _token(pos)
     h_s, pos = _token(pos)
     scale_s, pos = _token(pos)
