@@ -69,6 +69,32 @@ def main():
     encode_image_device(u8, 1.0)  # compile
     best_u8, times_u8, data_u8 = _best(lambda: encode_image_device(u8, 1.0))
 
+    # Device-only: programs A+B with resident pixels (excludes the
+    # host<->device link, which dominates end-to-end on tunneled setups).
+    import jax.numpy as jnp
+    from jxl_tiny_tpu.encoder import DeviceEncodeJob
+    from jxl_tiny_tpu.ops.pipeline_jax import analyze_image_packed
+
+    job = DeviceEncodeJob(u8, 1.0)
+    job.pack()
+    up = jnp.asarray(u8)
+    yb = jnp.asarray(job.yb_arr)
+    xb = jnp.asarray(job.xb_arr)
+    np.asarray(up.ravel()[:1])
+    dev_times = []
+    for _ in range(4):
+        t = time.time()
+        out_a = analyze_image_packed(up, yb, xb, cap=job.cap, **job._kwargs)
+        np.asarray(out_a["totals"][:1])
+        job.out_a = out_a
+        job._stream = out_a["stream"][:, : job.cap]
+        job._totals_d = out_a["totals"]
+        job._dispatch_b()
+        np.asarray(job.out_b["bits"][:1])
+        np.asarray(job.out_dc["bits"][:1])
+        dev_times.append(time.time() - t)
+    best_dev = min(dev_times)
+
     mps = mp / best_f16
     print(
         json.dumps(
@@ -83,6 +109,8 @@ def main():
                     "u8_source_mps": round(mp / best_u8, 3),
                     "u8_times_s": [round(t, 3) for t in times_u8],
                     "u8_bytes": len(data_u8),
+                    "device_only_mps": round(mp / best_dev, 3),
+                    "device_only_times_s": [round(t, 4) for t in dev_times],
                     "baseline_mps_cpu_ref": BASELINE_MPS,
                 },
             }

@@ -485,26 +485,37 @@ class DeviceEncodeJob:
 
             d_table_dc = _static_dc_table()
 
-        # Program B (DC): fixed-layout entries -> section words.
+        # Program B: AC + DC section packing, one dispatch. wcaps sized for
+        # worst-case alignment slack; the [1, wcap] output blocks must fit
+        # VMEM (enormous images would need a padded per-group download).
+        g = self.dim.num_groups
         gd = self.dim.num_dc_groups
-        self._ow_dc = 8192
-        self._wcap_dc = min(1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024)
-        self._d_dc = jnp.asarray(d_table_dc)
-        self.out_dc = pack_dc_sections(
-            self.out_a["dc_layout"], self._d_dc,
-            ow=self._ow_dc, wcap=self._wcap_dc,
-        )
-
-        # wcap sized for worst-case alignment slack; the [1, wcap] output
-        # block must fit VMEM, so enormous images would need the padded
-        # per-group download fallback (NotImplementedError below).
         self._stream = self.out_a["stream"][:, : self.cap]
         self._totals_d = self.out_a["totals"]
         self._d_dev = jnp.asarray(d_table)
-        g = self.dim.num_groups
         self.wcap = min(1 << (int(g * self.ow)).bit_length(), 2 * 1024 * 1024)
-        self.out_b = pack_ac_sections(
-            self._stream, self._totals_d, self._d_dev, ow=self.ow, wcap=self.wcap
+        self._ow_dc = 8192
+        self._wcap_dc = min(
+            1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
+        )
+        self._d_dc = jnp.asarray(d_table_dc)
+        self._dispatch_b()
+
+    def _dispatch_b(self):
+        import jax.numpy as jnp
+        from .ops.dc_kernels import pack_all_sections
+
+        out = pack_all_sections(
+            self._stream, self._totals_d, self._d_dev,
+            self.out_a["dc_layout"], self._d_dc,
+            ow_ac=self.ow, wcap_ac=self.wcap,
+            ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
+        )
+        self.out_b = dict(
+            words=out["ac_words"], bits=out["ac_bits"], word_offs=out["ac_offs"]
+        )
+        self.out_dc = dict(
+            words=out["dc_words"], bits=out["dc_bits"], word_offs=out["dc_offs"]
         )
 
     @staticmethod
@@ -529,8 +540,6 @@ class DeviceEncodeJob:
         ]
 
     def _ac_writers(self):
-        from .ops.pack_kernels import pack_ac_sections
-
         while True:
             bits = np.asarray(self.out_b["bits"])
             if int(bits.max(initial=0)) <= self.ow * 32 - 32:
@@ -538,17 +547,12 @@ class DeviceEncodeJob:
             self.ow = _next_bucket(
                 (8192, 32768, 131072), (int(bits.max()) + 31) // 32
             )
-            self.out_b = pack_ac_sections(
-                self._stream, self._totals_d, self._d_dev,
-                ow=self.ow, wcap=self.wcap,
-            )
+            self._dispatch_b()
         return self._download_writers(
             self.out_b, bits, self.wcap, self.dim.num_groups
         )
 
     def _dc_writers(self):
-        from .ops.dc_kernels import pack_dc_sections
-
         while True:
             bits = np.asarray(self.out_dc["bits"])
             if int(bits.max(initial=0)) <= self._ow_dc * 32 - 32:
@@ -556,10 +560,7 @@ class DeviceEncodeJob:
             self._ow_dc = _next_bucket(
                 (8192, 16384, 32768), (int(bits.max()) + 31) // 32
             )
-            self.out_dc = pack_dc_sections(
-                self.out_a["dc_layout"], self._d_dc,
-                ow=self._ow_dc, wcap=self._wcap_dc,
-            )
+            self._dispatch_b()
         return self._download_writers(
             self.out_dc, bits, self._wcap_dc, self.dim.num_dc_groups
         )

@@ -266,10 +266,7 @@ def dc_token_data_bits(layout, d_table):
     return data, nbits
 
 
-@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
-def pack_dc_sections(layout, d_table, ow, wcap):
-    """Device program B for DC sections: layout + code table -> section
-    words (same bitpack + word-compaction kernels as the AC path)."""
+def _pack_dc_impl(layout, d_table, ow, wcap):
     from .pack_kernels import bitpack_groups, compact_sections
 
     data, nbits = dc_token_data_bits(layout, d_table)
@@ -280,3 +277,28 @@ def pack_dc_sections(layout, d_table, ow, wcap):
     packed = bitpack_groups(data, pos, totals, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
+
+
+@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
+def pack_dc_sections(layout, d_table, ow, wcap):
+    """Device program B for DC sections: layout + code table -> section
+    words (same bitpack + word-compaction kernels as the AC path)."""
+    return _pack_dc_impl(layout, d_table, ow, wcap)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
+)
+def pack_all_sections(
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+):
+    """Single program B: AC + DC section packing in one dispatch (one
+    device roundtrip on high-latency links)."""
+    from .pack_kernels import _pack_ac_impl
+
+    ac = _pack_ac_impl(stream, totals, d_ac, ow_ac, wcap_ac)
+    dc = _pack_dc_impl(layout, d_dc, ow_dc, wcap_dc)
+    return dict(
+        ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
+        dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+    )

@@ -335,12 +335,7 @@ def compact_sections(packed, bits, wcap):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
-def pack_ac_sections(stream, totals, d_table, ow, wcap):
-    """Device program B. stream: [G, cap(+128)] u32 resident tokens;
-    d_table: [64, 64] f32 (depth<<16|bits, composed with final clustering).
-
-    Returns dict(words [wcap] u32, bits [G] i32, word_offs [G] i32)."""
+def _pack_ac_impl(stream, totals, d_table, ow, wcap):
     data, nbits = token_data_bits(stream, totals, d_table)
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
@@ -348,6 +343,15 @@ def pack_ac_sections(stream, totals, d_table, ow, wcap):
     packed = bitpack_groups(data, pos, totals, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
+
+
+@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
+def pack_ac_sections(stream, totals, d_table, ow, wcap):
+    """Device program B. stream: [G, cap(+128)] u32 resident tokens;
+    d_table: [64, 64] f32 (depth<<16|bits, composed with final clustering).
+
+    Returns dict(words [wcap] u32, bits [G] i32, word_offs [G] i32)."""
+    return _pack_ac_impl(stream, totals, d_table, ow, wcap)
 
 
 def rows_from_tokens(tokens_full, count_full):
