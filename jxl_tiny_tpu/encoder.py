@@ -488,16 +488,10 @@ class DeviceEncodeJob:
         # Program B: AC + DC section packing, one dispatch. wcaps sized for
         # worst-case alignment slack; the [1, wcap] output blocks must fit
         # VMEM (enormous images would need a padded per-group download).
-        g = self.dim.num_groups
-        gd = self.dim.num_dc_groups
         self._stream = self.out_a["stream"][:, : self.cap]
         self._totals_d = self.out_a["totals"]
         self._d_dev = jnp.asarray(d_table)
-        self.wcap = min(1 << (int(g * self.ow)).bit_length(), 2 * 1024 * 1024)
         self._ow_dc = 8192
-        self._wcap_dc = min(
-            1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
-        )
         self._d_dc = jnp.asarray(d_table_dc)
         self._dispatch_b()
 
@@ -505,6 +499,12 @@ class DeviceEncodeJob:
         import jax.numpy as jnp
         from .ops.dc_kernels import pack_all_sections
 
+        g = self.dim.num_groups
+        gd = self.dim.num_dc_groups
+        self.wcap = min(1 << (int(g * self.ow)).bit_length(), 2 * 1024 * 1024)
+        self._wcap_dc = min(
+            1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
+        )
         out = pack_all_sections(
             self._stream, self._totals_d, self._d_dev,
             self.out_a["dc_layout"], self._d_dc,

@@ -114,15 +114,21 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     def body(r, _):
         s = meta_ref[0, 0, r]
         c = meta_ref[0, 1, r]
-        a = s & (W - 1)
-        w0 = jnp.minimum((s >> 7) * W, cap - W)
-        w0 = pl.multiple_of(w0, W)
-        row = tok_ref[0, r, :].reshape(1, W)
-        ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
-        rot = pltpu.roll(ext, a, axis=1)
-        contrib = jnp.where((lanes >= a) & (lanes < a + c), rot, jnp.uint32(0))
-        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
-        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+
+        @pl.when(c > 0)  # continuation cells have empty rows; skip the RMW
+        def _():
+            a = s & (W - 1)
+            w0 = jnp.minimum((s >> 7) * W, cap - W)
+            w0 = pl.multiple_of(w0, W)
+            row = tok_ref[0, r, :].reshape(1, W)
+            ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
+            rot = pltpu.roll(ext, a, axis=1)
+            contrib = jnp.where(
+                (lanes >= a) & (lanes < a + c), rot, jnp.uint32(0)
+            )
+            cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+            out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+
         return 0
 
     jax.lax.fori_loop(0, ROWS, body, 0)
@@ -230,7 +236,7 @@ def token_data_bits(stream, totals, d_table):
 # ---------------------------------------------------------------------------
 
 
-def _bitpack_kernel(total_ref, data_ref, pos_ref, out_ref, *, ow, ch):
+def _bitpack_kernel(bound_ref, data_ref, pos_ref, out_ref, *, ow, ch):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -241,7 +247,7 @@ def _bitpack_kernel(total_ref, data_ref, pos_ref, out_ref, *, ow, ch):
 
         jax.lax.fori_loop(0, ow, zbody, 0)
 
-    n = jnp.clip(total_ref[0, 0, 0] - c * ch, 0, ch)
+    n = bound_ref[0, 0, c]
 
     def body(t, _):
         p = pos_ref[0, 0, t]
@@ -258,26 +264,36 @@ def _bitpack_kernel(total_ref, data_ref, pos_ref, out_ref, *, ow, ch):
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def bitpack_groups(data, pos, totals, ow, ch=2048):
+def bitpack_groups(data, pos, totals, ow, ch=2048, chunk_bounds=None):
     """data/pos: [G, cap]; totals: [G]. Returns packed words [G, ow] u32.
 
     Positions are absolute bit offsets within the group's section. Tokens
     whose words exceed `ow` are clamped into the last words (callers detect
-    via bit counts and re-run at a larger ow)."""
+    via bit counts and re-run at a larger ow).
+
+    chunk_bounds: optional [G, cap//ch] per-chunk iteration bounds (index of
+    the last nonzero-width entry + 1 per chunk) — sparse layouts (device DC
+    sections) skip their zero-width runs this way. Default derives dense
+    bounds from `totals`."""
     g, cap = data.shape
     assert cap % ch == 0
+    nch = cap // ch
+    if chunk_bounds is None:
+        chunk_bounds = jnp.clip(
+            totals[:, None] - jnp.arange(nch)[None, :] * ch, 0, ch
+        )
     out = pl.pallas_call(
         functools.partial(_bitpack_kernel, ow=ow, ch=ch),
-        grid=(g, cap // ch),
+        grid=(g, nch),
         in_specs=[
-            pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
         interpret=_interpret(),
-    )(totals[:, None, None].astype(jnp.int32), data[:, None, :], pos[:, None, :])
+    )(chunk_bounds[:, None, :].astype(jnp.int32), data[:, None, :], pos[:, None, :])
     return out[:, 0]
 
 
