@@ -12,7 +12,7 @@ arrays throughout).
 import numpy as np
 
 from .. import constants as C
-from ..common import ImageDim, DistanceParams, div_ceil
+from ..common import DistanceParams
 from ..entropy import build_entropy_code, write_entropy_code, write_tokens
 from ..entropy.entropy_write import EntropyCode
 from ..entropy.uint_coder import uint_encode

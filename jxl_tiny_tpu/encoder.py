@@ -453,8 +453,7 @@ class DeviceEncodeJob:
         the section-packing programs (AC always; DC when on-device DC is
         active)."""
         import jax.numpy as jnp
-        from .ops.pack_kernels import pack_ac_sections, ac_base64_map
-        from .ops.dc_kernels import pack_dc_sections, DC_CAP
+        from .ops.pack_kernels import ac_base64_map
         from .entropy.entropy_write import (
             build_ac_device_code,
             build_dc_device_code,
@@ -477,12 +476,10 @@ class DeviceEncodeJob:
         else:  # one-pass static codes (the reference's OPTIMIZE_CODE=0 tier)
             from .entropy.entropy_write import (
                 load_static_codes,
-                build_dc_device_code as _bdc,
+                _static_dc_table,
             )
 
             self.full_code, d_table, self.dc_code = load_static_codes()
-            from .entropy.entropy_write import _static_dc_table
-
             d_table_dc = _static_dc_table()
 
         # Program B: AC + DC section packing, one dispatch. wcaps sized for
@@ -595,6 +592,95 @@ def encode_image_device(
     job = DeviceEncodeJob(img, distance, upload_dtype, cap, ow, config=config)
     job.pack()
     return job.result()
+
+
+def encode_image_device_mesh(
+    img: np.ndarray,
+    distance: float = 1.0,
+    mesh=None,
+    cap: int = 32768,
+    ow: int = 8192,
+) -> bytes:
+    """Multi-chip flagship encode: the group axis is sharded over `mesh`
+    (shard_map; pure data parallelism — groups are self-contained by format
+    design), the base-64 histograms are all-reduced as an integer psum, and
+    AC sections are entropy-packed per shard. DC sections assemble on the
+    host from the sharded per-group maps (one small gather). Output bytes
+    are identical to the single-device path for any mesh shape (tested)."""
+    import jax.numpy as jnp
+    from .parallel.sharding import (
+        analyze_groups_packed_sharded,
+        pack_ac_sections_sharded,
+        make_mesh,
+    )
+    from .ops.pipeline_jax import unpack_meta_u8
+    from .ops.pack_kernels import ac_base64_map
+    from .entropy.entropy_write import build_ac_device_code
+
+    assert img.ndim == 3 and img.shape[0] == 3
+    distance = clamp_distance(distance)
+    distp = compute_distance_params(distance)
+    dim = ImageDim(img.shape[2], img.shape[1])
+    g = dim.num_groups
+    if mesh is None:
+        mesh = make_mesh()
+
+    groups, yb_arr, xb_arr = _extract_all_groups(img.astype(np.float32), dim)
+    out, _ = analyze_groups_packed_sharded(
+        groups, yb_arr, xb_arr, distp, mesh, cap=cap
+    )
+    totals = np.asarray(out["totals"])[:g]
+    if int(totals.max(initial=0)) > cap:
+        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+        out, _ = analyze_groups_packed_sharded(
+            groups, yb_arr, xb_arr, distp, mesh, cap=cap
+        )
+    hist = np.asarray(out["hist"])
+    meta = unpack_meta_u8(np.asarray(out["meta"])[:g])
+    full_code, d_table = build_ac_device_code(hist, ac_base64_map())
+
+    packed = pack_ac_sections_sharded(
+        out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
+    )
+    bits = np.asarray(packed["bits"])
+    if int(bits[:g].max(initial=0)) > ow * 32 - 32:
+        ow = _next_bucket((8192, 32768, 131072), (int(bits.max()) + 31) // 32)
+        packed = pack_ac_sections_sharded(
+            out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
+        )
+        bits = np.asarray(packed["bits"])
+    offs = np.asarray(packed["word_offs"])
+    words = np.asarray(packed["words"])  # [n_dev, wcap_shard]
+    n_dev = words.shape[0]
+    per_shard = (len(bits)) // n_dev
+    ac_writers = []
+    for k in range(g):
+        shard, local = divmod(k, per_shard)
+        row = words[shard]
+        nw = (int(bits[k]) + 31) // 32
+        ac_writers.append(
+            _writer_from_bits(
+                row[offs[k] : offs[k] + nw].view(np.uint8), int(bits[k])
+            )
+        )
+
+    groups_d = {}
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb, xb = int(yb_arr[i]), int(xb_arr[i])
+            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+            gr = GroupResult(
+                None, meta["strategy"][i], meta["is_first"][i],
+                meta["raw_qf"][i], meta["ytox"][i, :ty, :tx],
+                meta["ytob"][i, :ty, :tx], yb, xb,
+            )
+            gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
+            groups_d[(gy, gx)] = gr
+            i += 1
+    return assemble_codestream(
+        groups_d, dim, distp, ac_writers=ac_writers, ac_code=full_code
+    )
 
 
 def encode_images_device(

@@ -9,7 +9,6 @@ with group-edge clamping instead of the reference's 256x64 stripes
 dependency; outputs differ only in a handful of AQ-field pixels at internal
 stripe boundaries.
 """
-import dataclasses
 
 import numpy as np
 

@@ -39,6 +39,31 @@ def _groups(n=8):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_mesh_encode_byte_identical_to_single_device():
+    """Full encode through encode_image_device_mesh: identical bytes on a
+    1-device and an 8-device mesh, and both decode."""
+    from jxl_tiny_tpu.encoder import encode_image_device_mesh
+    from jxl_tiny_tpu.decode.decoder import decode_jxl
+
+    rng = np.random.RandomState(12)
+    h, w = 300, 700  # 6 groups (pads to 8 on the mesh)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.04) * np.cos(yy * 0.05),
+            0.5 + 0.3 * np.sin((xx + yy) * 0.02),
+            0.4 + 0.2 * np.cos(xx * 0.012),
+        ]
+    ).astype(np.float32)
+    img = np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.02, 0, 1)
+
+    d1 = encode_image_device_mesh(img, 1.0, mesh=make_mesh(jax.devices()[:1]))
+    d8 = encode_image_device_mesh(img, 1.0, mesh=make_mesh(jax.devices()[:8]))
+    assert d1 == d8
+    assert decode_jxl(d1).shape == (3, h, w)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_packed_path_shard_invariance():
     groups = _groups(8)
     yb = np.full(8, 32, np.int32)
