@@ -683,6 +683,133 @@ def encode_image_device_mesh(
     )
 
 
+def encode_batch_device(
+    imgs,
+    distance: float = 1.0,
+    upload_dtype=np.float16,
+    cap: int = 32768,
+    ow: int = 8192,
+) -> list:
+    """Batched flagship encode: N same-sized images in ONE pair of device
+    programs — one upload, one histogram download, one section download for
+    the whole batch. Each image gets its own entropy codes and codestream.
+
+    This is the serving path for small-image batches: per-image link
+    round-trips (the cost that dominates `encode_images_device` on
+    high-latency links) are amortized across the batch. Images must share
+    one shape and dtype (u8 sRGB or float linear)."""
+    import jax.numpy as jnp
+    from .ops.pipeline_jax import analyze_batch_packed
+    from .ops.pack_kernels import ac_base64_map
+    from .ops.dc_kernels import pack_batch_sections
+    from .entropy.entropy_write import (
+        build_ac_device_code,
+        build_dc_device_code,
+    )
+
+    batch = np.stack(imgs)
+    n = batch.shape[0]
+    assert batch.ndim == 4 and batch.shape[1] == 3
+    distance = clamp_distance(distance)
+    distp = compute_distance_params(distance)
+    dim = ImageDim(batch.shape[3], batch.shape[2])
+    g = dim.num_groups
+    gd = dim.num_dc_groups
+
+    yb1 = np.empty(g, np.int32)
+    xb1 = np.empty(g, np.int32)
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb1[i] = div_ceil(min(256, batch.shape[2] - gy * 256), 8)
+            xb1[i] = div_ceil(min(256, batch.shape[3] - gx * 256), 8)
+            i += 1
+    yb_flat = np.tile(yb1, n)
+    xb_flat = np.tile(xb1, n)
+
+    if batch.dtype != np.uint8:
+        if upload_dtype == np.float16 and batch.shape[2] * batch.shape[3] < 2e6:
+            upload_dtype = None
+        if upload_dtype is not None:
+            batch = batch.astype(upload_dtype)
+    kwargs = dict(
+        distance=float(distp.distance),
+        inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale),
+        scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+    )
+
+    def run_a(c):
+        return analyze_batch_packed(
+            jnp.asarray(batch), jnp.asarray(yb_flat), jnp.asarray(xb_flat),
+            cap=c, **kwargs,
+        )
+
+    out_a = run_a(cap)
+    totals = np.asarray(out_a["totals"])
+    if int(totals.max(initial=0)) > cap:
+        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+        out_a = run_a(cap)
+    hists = np.asarray(out_a["hists"])  # [N, 2, 64, 64]
+
+    base_map = ac_base64_map()
+    full_codes, dc_codes = [], []
+    d_ac = np.empty((n, 64, 64), np.float32)
+    d_dc = np.empty((n, 64, 64), np.float32)
+    for k in range(n):
+        fc, d_ac[k] = build_ac_device_code(hists[k, 0], base_map)
+        dcode, d_dc[k] = build_dc_device_code(hists[k, 1][: C.NUM_DC_CONTEXTS])
+        full_codes.append(fc)
+        dc_codes.append(dcode)
+
+    stream = out_a["stream"][:, :cap]
+    totals_d = out_a["totals"]
+    wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
+    ow_dc = 8192
+    wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
+    while True:
+        out_b = pack_batch_sections(
+            stream, totals_d, jnp.asarray(d_ac),
+            out_a["dc_layout"], jnp.asarray(d_dc),
+            ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
+        )
+        ac_bits = np.asarray(out_b["ac_bits"])
+        dc_bits = np.asarray(out_b["dc_bits"])
+        if int(ac_bits.max(initial=0)) > ow * 32 - 32:
+            ow = _next_bucket(
+                (8192, 32768, 131072), (int(ac_bits.max()) + 31) // 32
+            )
+            continue
+        if int(dc_bits.max(initial=0)) > ow_dc * 32 - 32:
+            ow_dc = _next_bucket(
+                (8192, 16384, 32768), (int(dc_bits.max()) + 31) // 32
+            )
+            continue
+        break
+
+    ac_w = DeviceEncodeJob._download_writers(
+        dict(words=out_b["ac_words"], word_offs=out_b["ac_offs"]),
+        ac_bits, wcap, n * g,
+    )
+    dc_w = DeviceEncodeJob._download_writers(
+        dict(words=out_b["dc_words"], word_offs=out_b["dc_offs"]),
+        dc_bits, wcap_dc, n * gd,
+    )
+    results = []
+    for k in range(n):
+        results.append(
+            assemble_codestream(
+                None, dim, distp,
+                ac_writers=ac_w[k * g : (k + 1) * g],
+                ac_code=full_codes[k],
+                dc_code=dc_codes[k],
+                dc_writers=dc_w[k * gd : (k + 1) * gd],
+            )
+        )
+    return results
+
+
 def encode_images_device(
     imgs, distance=1.0, upload_dtype=np.float16, depth=2, config=None,
     retries=1,

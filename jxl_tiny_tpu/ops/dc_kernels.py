@@ -249,7 +249,7 @@ def dc_token_data_bits(layout, d_table):
     ar = jnp.arange(64)
     a = (base[..., None] == ar).astype(jnp.float32)
     ad = jnp.einsum(
-        "gtc,ck->gtk", a, d_table,
+        "gtc,ck->gtk" if d_table.ndim == 2 else "gtc,gck->gtk", a, d_table,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
@@ -308,6 +308,30 @@ def pack_all_sections(
 
     ac = _pack_ac_impl(stream, totals, d_ac, ow_ac, wcap_ac)
     dc = _pack_dc_impl(layout, d_dc, ow_dc, wcap_dc)
+    return dict(
+        ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
+        dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
+)
+def pack_batch_sections(
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+):
+    """Batched program B: N images' sections in one dispatch. d_ac/d_dc are
+    per-image tables [N, 64, 64]; stream holds N*G groups and layout N*Gd
+    DC groups. All sections land in the two shared word buffers."""
+    from .pack_kernels import _pack_ac_impl
+
+    n = d_ac.shape[0]
+    g_per = stream.shape[0] // n
+    gd_per = layout.shape[0] // n
+    d_ac_pg = jnp.repeat(d_ac, g_per, axis=0)
+    d_dc_pg = jnp.repeat(d_dc, gd_per, axis=0)
+    ac = _pack_ac_impl(stream, totals, d_ac_pg, ow_ac, wcap_ac)
+    dc = _pack_dc_impl(layout, d_dc_pg, ow_dc, wcap_dc)
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
         dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],

@@ -202,7 +202,8 @@ def hist_base64(stream, totals):
 
 def token_data_bits(stream, totals, d_table):
     """stream: [G, cap] u32 (base64<<16|value); d_table: [64, 64] f32 with
-    entry depth*65536 + canonical_code_bits (exact in f32: < 2^21).
+    entry depth*65536 + canonical_code_bits (exact in f32: < 2^21), or
+    [G, 64, 64] for per-group tables (batched multi-image encodes).
 
     Returns (data [G, cap] u32, nbits [G, cap] i32): the LSB-first bit
     pattern and length of each token (code bits then hybrid-uint extra bits,
@@ -216,7 +217,7 @@ def token_data_bits(stream, totals, d_table):
     # HIGHEST: table entries need >8 mantissa bits; default TPU precision
     # would truncate them to bf16.
     ad = jnp.einsum(
-        "gtc,ck->gtk",
+        "gtc,ck->gtk" if d_table.ndim == 2 else "gtc,gck->gtk",
         a,
         d_table,
         preferred_element_type=jnp.float32,

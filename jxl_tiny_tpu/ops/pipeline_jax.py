@@ -1122,13 +1122,93 @@ def analyze_groups_packed(
     return out
 
 
-def dc_layout_from_maps(
-    quant_dc, raw_qf, strategy, is_first, ytox, ytob, ysize, xsize
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "distance",
+        "inv_scale",
+        "scale",
+        "scale_dc",
+        "x_qm_mul",
+        "cap",
+        "cfl",
+        "blocks",
+    ),
+)
+def analyze_batch_packed(
+    images,
+    yb_valid,
+    xb_valid,
+    distance,
+    inv_scale,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    cap,
+    cfl=True,
+    blocks=True,
 ):
-    """Per-group maps -> device DC-section layout + DC histogram.
+    """Batched program A: N same-sized images in one device program — one
+    upload and one histogram download for the whole batch (per-image
+    entropy codes and codestreams). The production serving path for
+    small-image batches, where per-image link round-trips would dominate.
 
-    ysize/xsize: static pixel dims (group grid geometry derives statically).
-    Returns (dc_layout [Gd, DC_CAP] u32, dc_hist [64, 64] u32)."""
+    images: [N, 3, H, W]; yb_valid/xb_valid: [N*G] (per image, concatenated).
+    Returns dict(stream [N*G, cap+128], totals [N*G], hists [N, 2, 64, 64],
+    dc_layout [N*Gd, DC_CAP])."""
+    n = images.shape[0]
+    groups = jax.vmap(extract_groups_device)(images)  # [N, G, 3, 256, 256]
+    g_per = groups.shape[1]
+    out = analyze_groups_packed(
+        groups.reshape((-1,) + groups.shape[2:]),
+        yb_valid,
+        xb_valid,
+        distance,
+        inv_scale,
+        scale,
+        scale_dc,
+        x_qm_mul,
+        cap,
+        cfl,
+        blocks,
+        return_maps=True,
+    )
+    maps = out.pop("_maps")
+    from .pack_kernels import hist_base64
+
+    # Per-image AC histograms.
+    stream = out["stream"]
+    totals = out["totals"]
+    ac_hists = jax.vmap(lambda s, t: hist_base64(s[:, :cap], jnp.minimum(t, cap)))(
+        stream.reshape(n, g_per, -1), totals.reshape(n, g_per)
+    )  # [N, 64, 64]
+    # Per-image DC layouts, vectorized over the image axis (one traced
+    # instance regardless of batch size).
+    from .dc_kernels import dc_hist
+
+    layout = dc_layout_from_maps(
+        *maps, ysize=images.shape[2], xsize=images.shape[3], n_images=n,
+        with_hist=False,
+    )[0]
+    gd_per = layout.shape[0] // n
+    dc_hists = jax.vmap(dc_hist)(layout.reshape(n, gd_per, -1))
+    out.pop("hist")
+    out.pop("meta")
+    out["hists"] = jnp.stack([ac_hists, dc_hists], axis=1)  # [N, 2, 64, 64]
+    out["dc_layout"] = layout
+    return out
+
+
+def dc_layout_from_maps(
+    quant_dc, raw_qf, strategy, is_first, ytox, ytob, ysize, xsize,
+    n_images=1, with_hist=True,
+):
+    """Per-group maps -> device DC-section layout (+ DC histogram).
+
+    ysize/xsize: static per-image pixel dims (group grid geometry derives
+    statically). Maps may hold n_images same-sized images' groups
+    concatenated; the regrouping is vmapped over the image axis.
+    Returns (dc_layout [n*Gd, DC_CAP] u32, dc_hist [64, 64] u32 or None)."""
     from ..common import div_ceil
     from . import dc_kernels as DK
 
@@ -1137,22 +1217,24 @@ def dc_layout_from_maps(
     ygr_p = div_ceil(ygr, 8) * 8
     xgr_p = div_ceil(xgr, 8) * 8
 
-    def pad_grid(a):
-        # [G=ygr*xgr, ...] raster -> padded [ygr_p*xgr_p, ...] raster
-        a = a.reshape((ygr, xgr) + a.shape[1:])
+    def regroup(a, trailing):
+        # [n*G, ...] raster per image -> padded planes [n*Gd, ...]
+        a = a.reshape((n_images, ygr, xgr) + a.shape[1:])
         a = jnp.pad(
-            a, ((0, ygr_p - ygr), (0, xgr_p - xgr)) + ((0, 0),) * (a.ndim - 2)
+            a,
+            ((0, 0), (0, ygr_p - ygr), (0, xgr_p - xgr))
+            + ((0, 0),) * (a.ndim - 3),
         )
-        return a.reshape((ygr_p * xgr_p,) + a.shape[2:])
+        a = a.reshape((n_images, ygr_p * xgr_p) + a.shape[3:])
+        out = jax.vmap(lambda x: DK.regroup_dc(x, ygr_p, xgr_p, trailing))(a)
+        return out.reshape((-1,) + out.shape[2:])
 
-    qdc = DK.regroup_dc(pad_grid(quant_dc.astype(jnp.int32)), ygr_p, xgr_p, True)
-    qf = DK.regroup_dc(pad_grid(raw_qf.astype(jnp.int32)), ygr_p, xgr_p, False)
-    st = DK.regroup_dc(pad_grid(strategy.astype(jnp.int32)), ygr_p, xgr_p, False)
-    fi = DK.regroup_dc(
-        pad_grid(is_first.astype(jnp.int32)), ygr_p, xgr_p, False
-    ).astype(bool)
-    yx = DK.regroup_dc(pad_grid(ytox.astype(jnp.int32)), ygr_p, xgr_p, False)
-    yb_ = DK.regroup_dc(pad_grid(ytob.astype(jnp.int32)), ygr_p, xgr_p, False)
+    qdc = regroup(quant_dc.astype(jnp.int32), True)
+    qf = regroup(raw_qf.astype(jnp.int32), False)
+    st = regroup(strategy.astype(jnp.int32), False)
+    fi = regroup(is_first.astype(jnp.int32), False).astype(bool)
+    yx = regroup(ytox.astype(jnp.int32), False)
+    yb_ = regroup(ytob.astype(jnp.int32), False)
 
     # Static per-DC-group valid dims (enc_frame.cc:48-93 geometry).
     ydg, xdg = div_ceil(ysize, 2048), div_ceil(xsize, 2048)
@@ -1174,10 +1256,11 @@ def dc_layout_from_maps(
     # only when ygr_p/8 > ydg — impossible: ydg == ygr_p//8 by construction.
     layout = DK.build_dc_layout(
         qdc, qf, st, fi, yx, yb_,
-        jnp.asarray(ydb), jnp.asarray(xdb), jnp.asarray(tyv), jnp.asarray(txv),
-        jnp.asarray(nbv),
+        jnp.asarray(np.tile(ydb, n_images)), jnp.asarray(np.tile(xdb, n_images)),
+        jnp.asarray(np.tile(tyv, n_images)), jnp.asarray(np.tile(txv, n_images)),
+        jnp.asarray(np.tile(nbv, n_images)),
     )
-    return layout, DK.dc_hist(layout)
+    return layout, (DK.dc_hist(layout) if with_hist else None)
 
 
 def make_analyze_fn():

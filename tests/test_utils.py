@@ -55,3 +55,14 @@ def test_batch_pipeline_order_and_retry():
     assert len(outs) == 3
     for im, d in zip(imgs, outs):
         assert d == encode_image_device(im, 1.0, upload_dtype=None)
+
+
+def test_batched_program_matches_per_image():
+    """encode_batch_device (N images in one device program, per-image codes)
+    must produce bytes identical to per-image encodes."""
+    from jxl_tiny_tpu.encoder import encode_batch_device, encode_image_device
+
+    imgs = [_img(s) for s in (4, 5)]
+    outs = encode_batch_device(imgs, 1.0, upload_dtype=None)
+    for im, d in zip(imgs, outs):
+        assert d == encode_image_device(im, 1.0, upload_dtype=None)
