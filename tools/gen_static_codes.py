@@ -54,29 +54,9 @@ def main():
         for img in corpus_images():
             job = DeviceEncodeJob(img, dist, upload_dtype=None)
             job.pack()
-            ac_hist += np.asarray(job.out_a["hist"]).astype(np.uint64)
-            dim, meta = job.dim, job.meta
-            groups = {}
-            i = 0
-            for gy in range(dim.ysize_groups):
-                for gx in range(dim.xsize_groups):
-                    yb, xb = int(job.yb_arr[i]), int(job.xb_arr[i])
-                    ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
-                    gr = GroupResult(
-                        None, meta["strategy"][i], meta["is_first"][i],
-                        meta["raw_qf"][i], meta["ytox"][i, :ty, :tx],
-                        meta["ytob"][i, :ty, :tx], yb, xb,
-                    )
-                    gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
-                    groups[(gy, gx)] = gr
-                    i += 1
-            dc_ops = []
-            for dgy in range(dim.ysize_dc_groups):
-                for dgx in range(dim.xsize_dc_groups):
-                    dc_ops.append(_build_dc_group(groups, dim, dgy, dgx))
-            dc_hist += S.histogram_sections(dc_ops, C.NUM_DC_CONTEXTS).astype(
-                np.uint64
-            )
+            hists = np.asarray(job.out_a["hists"])
+            ac_hist += hists[0].astype(np.uint64)
+            dc_hist += hists[1][: C.NUM_DC_CONTEXTS].astype(np.uint64)
             print(f"d={dist} image done", file=sys.stderr)
 
     # +1 smoothing: every symbol must be codeable in the static tier.
