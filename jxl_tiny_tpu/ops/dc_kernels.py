@@ -267,24 +267,15 @@ def dc_token_data_bits(layout, d_table):
 
 
 def _pack_dc_impl(layout, d_table, ow, wcap):
-    from .pack_kernels import bitpack_groups, compact_sections
+    from .pack_kernels import bitpack_groups_paired, compact_sections
 
     data, nbits = dc_token_data_bits(layout, d_table)
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    totals = jnp.full((layout.shape[0],), layout.shape[1], jnp.int32)
-    # Per-chunk bounds skip the zero-width runs of the sparse layout (the
-    # bit-pack loop then visits ~real-token-count slots, not DC_CAP).
-    ch = 2048
-    nch = layout.shape[1] // ch
-    slot = jnp.arange(ch)[None, None, :]
-    bounds = (
-        ((nbits > 0).reshape(layout.shape[0], nch, ch) * (slot + 1))
-        .max(axis=2)
-        .astype(jnp.int32)
-    )
-    packed = bitpack_groups(data, pos, totals, ow, ch=ch, chunk_bounds=bounds)
+    # Pair-merged packer; its per-chunk bounds skip the sparse layout's
+    # zero-width runs (the loop visits ~real-token-count/2 slots).
+    packed = bitpack_groups_paired(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 

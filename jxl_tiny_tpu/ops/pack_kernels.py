@@ -298,6 +298,82 @@ def bitpack_groups(data, pos, totals, ow, ch=2048, chunk_bounds=None):
     return out[:, 0]
 
 
+def _bitpack2_kernel(bound_ref, lo_ref, hi_ref, pos_ref, out_ref, *, ow, ch):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        def zbody(i, _):
+            out_ref[0, 0, i] = jnp.uint32(0)
+            return 0
+
+        jax.lax.fori_loop(0, ow, zbody, 0)
+
+    n = bound_ref[0, 0, c]
+
+    def body(t, _):
+        p = pos_ref[0, 0, t]
+        lo = lo_ref[0, 0, t]
+        hi = hi_ref[0, 0, t]
+        w = jnp.minimum(p >> 5, ow - 3)
+        sh = (p & 31).astype(jnp.uint32)
+        out_ref[0, 0, w] = out_ref[0, 0, w] | (lo << sh)
+        ish = jnp.uint32(32) - sh
+        m1 = jax.lax.select(
+            sh == 0, hi, (lo >> ish) | (hi << sh)
+        )
+        out_ref[0, 0, w + 1] = out_ref[0, 0, w + 1] | m1
+        m2 = jax.lax.select(sh == 0, jnp.uint32(0), hi >> ish)
+        out_ref[0, 0, w + 2] = out_ref[0, 0, w + 2] | m2
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def bitpack_groups_paired(data, nbits, pos, ow, ch=2048):
+    """Pair-merged bit packer: adjacent tokens merge into (lo, hi, n<=56)
+    64-bit entries in a jnp pre-pass, halving the scalar loop's iterations
+    (3 read-modify-writes per pair instead of 4, half the loop overhead).
+
+    data/nbits/pos: [G, cap] per-token patterns, widths, absolute bit
+    positions (width 0 entries are no-ops). cap must be a multiple of 2*ch.
+    Returns packed words [G, ow] u32 (identical to bitpack_groups)."""
+    g, cap = data.shape
+    assert cap % (2 * ch) == 0
+    n0 = nbits[:, 0::2].astype(jnp.uint32)
+    d0 = data[:, 0::2]
+    d1 = data[:, 1::2]
+    lo = d0 | jnp.where(n0 < 32, d1 << n0, 0)
+    hi = jnp.where(n0 == 0, 0, d1 >> (jnp.uint32(32) - jnp.minimum(n0, 31)))
+    hi = jnp.where(n0 == 0, 0, jnp.where(n0 < 32, hi, d1))
+    pos2 = pos[:, 0::2]
+    pn = (nbits[:, 0::2] + nbits[:, 1::2]) > 0
+    nch = (cap // 2) // ch
+    slot = jnp.arange(ch)[None, None, :]
+    bounds = (
+        (pn.reshape(g, nch, ch) * (slot + 1)).max(axis=2).astype(jnp.int32)
+    )
+    out = pl.pallas_call(
+        functools.partial(_bitpack2_kernel, ow=ow, ch=ch),
+        grid=(g, nch),
+        in_specs=[
+            pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
+        interpret=_interpret(),
+    )(
+        bounds[:, None, :],
+        lo[:, None, :],
+        hi[:, None, :],
+        pos2[:, None, :].astype(jnp.int32),
+    )
+    return out[:, 0]
+
+
 # ---------------------------------------------------------------------------
 # Section word-compaction: [G, ow] -> one aligned buffer
 # ---------------------------------------------------------------------------
@@ -357,7 +433,7 @@ def _pack_ac_impl(stream, totals, d_table, ow, wcap):
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    packed = bitpack_groups(data, pos, totals, ow)
+    packed = bitpack_groups_paired(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 

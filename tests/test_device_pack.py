@@ -82,6 +82,29 @@ def test_bitpack_groups():
         assert np.array_equal(out[k], ref), f"group {k}"
 
 
+def test_bitpack_groups_paired_matches():
+    """Pair-merged packer must produce bit-identical words to the scalar
+    reference, including zero-width entries and odd tails."""
+    rng = np.random.RandomState(4)
+    g, cap, ow = 2, 4096, 2048
+    nbits = rng.randint(0, 29, size=(g, cap)).astype(np.int32)
+    nbits[0, ::3] = 0  # interleaved zero-width entries (DC layout shape)
+    nbits[:, -5:] = 0
+    data = (rng.randint(0, 1 << 30, size=(g, cap)) & ((1 << np.maximum(nbits, 1)) - 1)).astype(
+        np.uint32
+    )
+    data[nbits == 0] = 0
+    pos = (np.cumsum(nbits, axis=1) - nbits).astype(np.int32)
+    out = np.asarray(
+        PK.bitpack_groups_paired(
+            jnp.asarray(data), jnp.asarray(nbits), jnp.asarray(pos), ow
+        )
+    )
+    for k in range(g):
+        ref, _ = _ref_bitpack(data[k], nbits[k], cap, ow)
+        assert np.array_equal(out[k], ref), f"group {k}"
+
+
 def test_token_data_bits_and_hist():
     rng = np.random.RandomState(2)
     g, cap = 2, 512
