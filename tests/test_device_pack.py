@@ -185,6 +185,53 @@ def test_device_dc_sections_byte_equal_host():
     assert dev.to_bytes() == host.to_bytes()
 
 
+def test_device_dc_multi_dc_group_byte_equal():
+    """Two DC-group columns (image wider than 2048): the vmapped regrouping
+    and per-DC-group dims must still match the host serializer bytes."""
+    from jxl_tiny_tpu.encoder import DeviceEncodeJob, GroupResult, _build_dc_group
+    from jxl_tiny_tpu.common import div_ceil
+    from jxl_tiny_tpu.ops.pipeline_jax import unpack_meta_u8
+    import jxl_tiny_tpu.bitstream.sections as S
+
+    rng = np.random.RandomState(13)
+    h, w = 96, 2100
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.01),
+            0.5 + 0.3 * np.cos((yy + xx) * 0.008),
+            0.4 + 0.2 * np.sin(yy * 0.05),
+        ]
+    ).astype(np.float32)
+    img = np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.02, 0, 1)
+
+    job = DeviceEncodeJob(img, 1.0, upload_dtype=None)
+    job.pack()
+    dev = job._dc_writers()
+    assert len(dev) == 2
+    meta = unpack_meta_u8(np.asarray(job.out_a["meta"]))
+    dim = job.dim
+    groups = {}
+    i = 0
+    for gy in range(dim.ysize_groups):
+        for gx in range(dim.xsize_groups):
+            yb, xb = int(job.yb_arr[i]), int(job.xb_arr[i])
+            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
+            gr = GroupResult(
+                None, meta["strategy"][i], meta["is_first"][i],
+                meta["raw_qf"][i], meta["ytox"][i, :ty, :tx],
+                meta["ytob"][i, :ty, :tx], yb, xb,
+            )
+            gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
+            groups[(gy, gx)] = gr
+            i += 1
+    for dgx in range(2):
+        host = S.serialize_section(
+            _build_dc_group(groups, dim, 0, dgx), job.dc_code
+        )
+        assert dev[dgx].to_bytes() == host.to_bytes(), f"dc group {dgx}"
+
+
 def test_device_pack_e2e_matches_host_path():
     """Full encode via the device-packed path: decoded pixels must be
     bit-identical to the host-packed path (same quantization decisions,
