@@ -446,12 +446,31 @@ class DeviceEncodeJob:
             )
 
         self._run_a = run_a
-        self.out_a = run_a(cap)  # dispatched; not synced
+        self._static = not self.config.optimize_code
+        if self._static:
+            # One-pass tier: analysis + packing with static codes is a
+            # single device program; dispatch it right away (no histogram
+            # roundtrip at all — the reference's OPTIMIZE_CODE=0 design).
+            from .entropy.entropy_write import (
+                load_static_codes,
+                _static_dc_table,
+            )
+
+            self._up = up
+            self.meta = None
+            self.full_code, d_ac, self.dc_code = load_static_codes()
+            self._d_dev = jnp.asarray(d_ac)
+            self._d_dc = jnp.asarray(_static_dc_table())
+            self._ow_dc = 8192
+            self._dispatch_b()
+        else:
+            self.out_a = run_a(cap)  # dispatched; not synced
 
     def pack(self):
         """Sync program A's small outputs; build the entropy codes; dispatch
-        the section-packing programs (AC always; DC when on-device DC is
-        active)."""
+        the section-packing program. (One-pass static tier: the combined
+        program was already dispatched in __init__; only the token-capacity
+        check remains.)"""
         import jax.numpy as jnp
         from .ops.pack_kernels import ac_base64_map
         from .entropy.entropy_write import (
@@ -459,28 +478,25 @@ class DeviceEncodeJob:
             build_dc_device_code,
         )
 
+        if self._static:
+            totals = np.asarray(self._totals_b)
+            if int(totals.max(initial=0)) > self.cap:
+                self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+                self._dispatch_b()
+            return
+
         totals = np.asarray(self.out_a["totals"])
         if int(totals.max(initial=0)) > self.cap:
             self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
             self.out_a = self._run_a(self.cap)
         self.meta = None  # host maps fetched only by the fallback path
-        self.dc_code = None
         hists = np.asarray(self.out_a["hists"])
-        if self.config.optimize_code:
-            self.full_code, d_table = build_ac_device_code(
-                hists[0], ac_base64_map()
-            )
-            self.dc_code, d_table_dc = build_dc_device_code(
-                hists[1][: C.NUM_DC_CONTEXTS]
-            )
-        else:  # one-pass static codes (the reference's OPTIMIZE_CODE=0 tier)
-            from .entropy.entropy_write import (
-                load_static_codes,
-                _static_dc_table,
-            )
-
-            self.full_code, d_table, self.dc_code = load_static_codes()
-            d_table_dc = _static_dc_table()
+        self.full_code, d_table = build_ac_device_code(
+            hists[0], ac_base64_map()
+        )
+        self.dc_code, d_table_dc = build_dc_device_code(
+            hists[1][: C.NUM_DC_CONTEXTS]
+        )
 
         # Program B: AC + DC section packing, one dispatch. wcaps sized for
         # worst-case alignment slack; the [1, wcap] output blocks must fit
@@ -494,7 +510,7 @@ class DeviceEncodeJob:
 
     def _dispatch_b(self):
         import jax.numpy as jnp
-        from .ops.dc_kernels import pack_all_sections
+        from .ops.dc_kernels import pack_all_sections, analyze_pack_static
 
         g = self.dim.num_groups
         gd = self.dim.num_dc_groups
@@ -502,12 +518,25 @@ class DeviceEncodeJob:
         self._wcap_dc = min(
             1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
         )
-        out = pack_all_sections(
-            self._stream, self._totals_d, self._d_dev,
-            self.out_a["dc_layout"], self._d_dc,
-            ow_ac=self.ow, wcap_ac=self.wcap,
-            ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
-        )
+        if self._static:
+            out = analyze_pack_static(
+                jnp.asarray(self._up), jnp.asarray(self.yb_arr),
+                jnp.asarray(self.xb_arr), self._d_dev, self._d_dc,
+                cap=self.cap,
+                cfl=self.config.optimize_chroma_from_luma,
+                blocks=self.config.optimize_block_sizes,
+                ow_ac=self.ow, wcap_ac=self.wcap,
+                ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
+                **self._kwargs,
+            )
+            self._totals_b = out["totals"]
+        else:
+            out = pack_all_sections(
+                self._stream, self._totals_d, self._d_dev,
+                self.out_a["dc_layout"], self._d_dc,
+                ow_ac=self.ow, wcap_ac=self.wcap,
+                ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
+            )
         self.out_b = dict(
             words=out["ac_words"], bits=out["ac_bits"], word_offs=out["ac_offs"]
         )

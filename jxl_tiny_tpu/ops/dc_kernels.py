@@ -306,6 +306,60 @@ def pack_all_sections(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=(
+        "distance",
+        "inv_scale",
+        "scale",
+        "scale_dc",
+        "x_qm_mul",
+        "cap",
+        "cfl",
+        "blocks",
+        "ow_ac",
+        "wcap_ac",
+        "ow_dc",
+        "wcap_dc",
+    ),
+)
+def analyze_pack_static(
+    image,
+    yb_valid,
+    xb_valid,
+    d_ac,
+    d_dc,
+    distance,
+    inv_scale,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    cap,
+    cfl,
+    blocks,
+    ow_ac,
+    wcap_ac,
+    ow_dc,
+    wcap_dc,
+):
+    """One-pass tier: the whole encode (analysis + section packing with
+    static code tables) as a single device program and roundtrip — the
+    reference's OPTIMIZE_CODE=0 design (no histogram pass,
+    static_entropy_codes.h role)."""
+    from .pipeline_jax import analyze_image_packed
+
+    a = analyze_image_packed(
+        image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
+        x_qm_mul, cap, cfl, blocks,
+    )
+    b = pack_all_sections(
+        a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"], d_dc,
+        ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
+    )
+    b["totals"] = a["totals"]
+    return b
+
+
+@functools.partial(
     jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
 )
 def pack_batch_sections(

@@ -41,6 +41,17 @@ def corpus_images():
             (np.floor(xx / 37) % 2 * 0.8 + 0.1).astype(np.float32),
         ]
     )
+    # Photographic-noise class (low-frequency content + sensor-like noise).
+    yy, xx = np.mgrid[0:768, 0:1024].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.35 * np.sin(xx * 0.013) * np.cos(yy * 0.009),
+            0.45 + 0.3 * np.sin(xx * 0.006 + 2.0) + 0.1 * np.cos(yy * 0.011),
+            0.4 + 0.25 * np.cos((xx + yy) * 0.005),
+        ]
+    )
+    img = np.clip(img * 0.5 + 0.25 + rng.randn(3, 768, 1024) * 0.015, 0, 1)
+    yield (img ** 2.2).astype(np.float32)
 
 
 def main():
