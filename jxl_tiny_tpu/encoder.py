@@ -494,7 +494,8 @@ class DeviceEncodeJob:
         )
 
         if self._static:
-            totals = np.asarray(self._totals_b)
+            g2 = 2 * (self.dim.num_groups + self.dim.num_dc_groups)
+            totals = self._small_sync()[g2:]
             if int(totals.max(initial=0)) > self.cap:
                 self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
                 self._dispatch_b()
@@ -544,7 +545,6 @@ class DeviceEncodeJob:
                 ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
                 **self._kwargs,
             )
-            self._totals_b = out["totals"]
         else:
             out = pack_all_sections(
                 self._stream, self._totals_d, self._d_dev,
@@ -552,17 +552,22 @@ class DeviceEncodeJob:
                 ow_ac=self.ow, wcap_ac=self.wcap,
                 ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
             )
-        self.out_b = dict(
-            words=out["ac_words"], bits=out["ac_bits"], word_offs=out["ac_offs"]
-        )
-        self.out_dc = dict(
-            words=out["dc_words"], bits=out["dc_bits"], word_offs=out["dc_offs"]
-        )
+        self.out_b = dict(words=out["ac_words"])
+        self.out_dc = dict(words=out["dc_words"])
+        self.out_small = out["small"]
+        self._small_np = None
+        self._ac_list = None
+
+    def _small_sync(self):
+        """One D2H transfer for all small section metadata (bits + offsets
+        for both section kinds, plus totals in the one-pass tier)."""
+        if self._small_np is None:
+            self._small_np = np.asarray(self.out_small)
+        return self._small_np
 
     @staticmethod
-    def _download_writers(out, bits, wcap, n):
+    def _download_writers(words_dev, bits, offs, wcap, n):
         """Slice the compacted section buffer into per-section BitWriters."""
-        offs = np.asarray(out["word_offs"])
         nblk = (bits + (32 * 128 - 1)) // (32 * 128)
         used = int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
         if used > wcap:
@@ -571,7 +576,7 @@ class DeviceEncodeJob:
                 "compaction; use encode_image_jax"
             )
         dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
-        words = np.asarray(out["words"][:dl])
+        words = np.asarray(words_dev[:dl])
         return [
             _writer_from_bits(
                 words[offs[k] : offs[k] + (bits[k] + 31) // 32].view(np.uint8),
@@ -580,31 +585,44 @@ class DeviceEncodeJob:
             for k in range(n)
         ]
 
-    def _ac_writers(self):
+    def _fetch_sections(self):
+        if self._ac_list is not None:
+            return
+        g = self.dim.num_groups
+        gd = self.dim.num_dc_groups
         while True:
-            bits = np.asarray(self.out_b["bits"])
-            if int(bits.max(initial=0)) <= self.ow * 32 - 32:
-                break
-            self.ow = _next_bucket(
-                (8192, 32768, 131072), (int(bits.max()) + 31) // 32
-            )
-            self._dispatch_b()
-        return self._download_writers(
-            self.out_b, bits, self.wcap, self.dim.num_groups
+            small = self._small_sync()
+            ac_bits = small[:g]
+            ac_offs = small[g : 2 * g]
+            dc_bits = small[2 * g : 2 * g + gd]
+            dc_offs = small[2 * g + gd : 2 * g + 2 * gd]
+            if int(ac_bits.max(initial=0)) > self.ow * 32 - 32:
+                self.ow = _next_bucket(
+                    (8192, 32768, 131072), (int(ac_bits.max()) + 31) // 32
+                )
+                self._dispatch_b()
+                continue
+            if int(dc_bits.max(initial=0)) > self._ow_dc * 32 - 32:
+                self._ow_dc = _next_bucket(
+                    (8192, 16384, 32768), (int(dc_bits.max()) + 31) // 32
+                )
+                self._dispatch_b()
+                continue
+            break
+        self._ac_list = self._download_writers(
+            self.out_b["words"], ac_bits, ac_offs, self.wcap, g
+        )
+        self._dc_list = self._download_writers(
+            self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd
         )
 
+    def _ac_writers(self):
+        self._fetch_sections()
+        return self._ac_list
+
     def _dc_writers(self):
-        while True:
-            bits = np.asarray(self.out_dc["bits"])
-            if int(bits.max(initial=0)) <= self._ow_dc * 32 - 32:
-                break
-            self._ow_dc = _next_bucket(
-                (8192, 16384, 32768), (int(bits.max()) + 31) // 32
-            )
-            self._dispatch_b()
-        return self._download_writers(
-            self.out_dc, bits, self._wcap_dc, self.dim.num_dc_groups
-        )
+        self._fetch_sections()
+        return self._dc_list
 
     def result(self) -> bytes:
         return assemble_codestream(
@@ -818,8 +836,12 @@ def encode_batch_device(
             out_a["dc_layout"], jnp.asarray(d_dc),
             ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
         )
-        ac_bits = np.asarray(out_b["ac_bits"])
-        dc_bits = np.asarray(out_b["dc_bits"])
+        small = np.asarray(out_b["small"])
+        ng, ngd = n * g, n * gd
+        ac_bits = small[:ng]
+        ac_offs = small[ng : 2 * ng]
+        dc_bits = small[2 * ng : 2 * ng + ngd]
+        dc_offs = small[2 * ng + ngd : 2 * ng + 2 * ngd]
         if int(ac_bits.max(initial=0)) > ow * 32 - 32:
             ow = _next_bucket(
                 (8192, 32768, 131072), (int(ac_bits.max()) + 31) // 32
@@ -833,12 +855,10 @@ def encode_batch_device(
         break
 
     ac_w = DeviceEncodeJob._download_writers(
-        dict(words=out_b["ac_words"], word_offs=out_b["ac_offs"]),
-        ac_bits, wcap, n * g,
+        out_b["ac_words"], ac_bits, ac_offs, wcap, n * g
     )
     dc_w = DeviceEncodeJob._download_writers(
-        dict(words=out_b["dc_words"], word_offs=out_b["dc_offs"]),
-        dc_bits, wcap_dc, n * gd,
+        out_b["dc_words"], dc_bits, dc_offs, wcap_dc, n * gd
     )
     results = []
     for k in range(n):

@@ -302,6 +302,11 @@ def pack_all_sections(
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
         dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+        # One-transfer form of the four small vectors (links with per-
+        # transfer latency fetch this instead of four arrays).
+        small=jnp.concatenate(
+            [ac["bits"], ac["word_offs"], dc["bits"], dc["word_offs"]]
+        ),
     )
 
 
@@ -356,6 +361,7 @@ def analyze_pack_static(
         ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
     )
     b["totals"] = a["totals"]
+    b["small"] = jnp.concatenate([b["small"], a["totals"].astype(jnp.int32)])
     return b
 
 
@@ -380,4 +386,7 @@ def pack_batch_sections(
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
         dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+        small=jnp.concatenate(
+            [ac["bits"], ac["word_offs"], dc["bits"], dc["word_offs"]]
+        ),
     )
