@@ -817,8 +817,8 @@ def encode_batch_device(
 
     base_map = ac_base64_map()
     full_codes, dc_codes = [], []
-    d_ac = np.empty((n, 64, 64), np.float32)
-    d_dc = np.empty((n, 64, 64), np.float32)
+    d_ac = np.empty((n, 9, 64), np.float32)
+    d_dc = np.empty((n, 9, 64), np.float32)
     for k in range(n):
         fc, d_ac[k] = build_ac_device_code(hists[k, 0], base_map)
         dcode, d_dc[k] = build_dc_device_code(hists[k, 1][: C.NUM_DC_CONTEXTS])

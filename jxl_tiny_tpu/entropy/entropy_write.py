@@ -323,11 +323,14 @@ def build_ac_device_code(hist64: np.ndarray, base_map: np.ndarray):
 
     Returns (full_code, d_table): `full_code` is the EntropyCode over the full
     context space (context map = final clustering composed with base_map) for
-    ACGlobal serialization; `d_table` is the [64, 64] f32 device table with
-    entry depth*65536 + canonical code bits (exact in f32, < 2^21), indexed by
-    (base_ctx, token). Mirrors the reference's two-stage scheme
-    (enc_frame.cc:768-782 + enc_entropy_code.cc:504-514) with the base stage
-    computed arithmetically on device.
+    ACGlobal serialization; `d_table` is the factored [9, 64] f32 device
+    table — row 0 is the base->cluster map (values < 8, CLUSTERS_LIMIT),
+    rows 1..8 the per-cluster entry depth*65536 + canonical code bits (exact
+    in f32, < 2^21) per token. The factored form keeps the device's one-hot
+    lookup intermediates at [tokens, 8] instead of [tokens, 64]. Mirrors the
+    reference's two-stage scheme (enc_frame.cc:768-782 +
+    enc_entropy_code.cc:504-514) with the base stage computed arithmetically
+    on device.
     """
     code = build_entropy_code(hist64)
     full_map = code.context_map[np.asarray(base_map, np.int64)]
@@ -337,23 +340,28 @@ def build_ac_device_code(hist64: np.ndarray, base_map: np.ndarray):
         bits=code.bits,
         token_depths=code.token_depths,
     )
+    return full, _factored_device_table(code)
+
+
+def _factored_device_table(code: EntropyCode) -> np.ndarray:
+    """[9, 64] f32: row 0 = context map (padded to 64 entries), rows 1..8 =
+    per-cluster depth*65536 + bits (unused clusters zero)."""
+    d = np.zeros((9, 64), np.float32)
     cl = code.context_map.astype(np.int64)
-    d = (code.token_depths[cl].astype(np.uint32) << 16) | code.bits[cl].astype(
-        np.uint32
-    )
-    return full, d.astype(np.float32)
+    assert cl.max(initial=0) < 8 and len(cl) <= 64
+    d[0, : len(cl)] = cl
+    m = code.token_depths.shape[0]
+    d[1 : 1 + m] = (
+        code.token_depths.astype(np.uint32) << 16
+    ) | code.bits.astype(np.uint32)
+    return d
 
 
 def build_dc_device_code(hist45: np.ndarray):
-    """DC entropy code + [64, 64] device table (rows >= num contexts zero)
-    for the device DC-section packer (ops.dc_kernels)."""
+    """DC entropy code + factored [9, 64] device table (context-map entries
+    >= num contexts zero) for the device DC-section packer (ops.dc_kernels)."""
     code = build_entropy_code(np.asarray(hist45))
-    cl = code.context_map.astype(np.int64)
-    d = np.zeros((64, 64), np.uint32)
-    d[: len(cl)] = (code.token_depths[cl].astype(np.uint32) << 16) | code.bits[
-        cl
-    ].astype(np.uint32)
-    return code, d.astype(np.float32)
+    return code, _factored_device_table(code)
 
 
 _STATIC_CODES_CACHE = None

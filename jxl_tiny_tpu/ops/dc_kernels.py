@@ -236,9 +236,10 @@ def dc_hist(layout):
 def dc_token_data_bits(layout, d_table):
     """Layout entries -> (data, nbits) for the bit-pack kernel.
 
-    d_table: [64, 64] f32 depth*65536+bits (DC code composed with its
-    clustering; rows >= 45 unused)."""
-    from .pack_kernels import _uint_token_extra
+    d_table: factored [9, 64] f32 DC code table (context-map row + 8
+    per-cluster depth*65536+bits rows; see pack_kernels.table_lookup_packed;
+    contexts >= 45 unused)."""
+    from .pack_kernels import _uint_token_extra, table_lookup_packed
 
     tag = (layout >> 16).astype(jnp.int32)
     value = layout & 0xFFFF
@@ -246,15 +247,7 @@ def dc_token_data_bits(layout, d_table):
     is_pad = tag == PAD
     tok, nb_extra, extra = _uint_token_extra(value)
     base = jnp.clip(tag, 0, 63)
-    ar = jnp.arange(64)
-    a = (base[..., None] == ar).astype(jnp.float32)
-    ad = jnp.einsum(
-        "gtc,ck->gtk" if d_table.ndim == 2 else "gtc,gck->gtk", a, d_table,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    b = (tok[..., None] == ar).astype(jnp.float32)
-    packed = (ad * b).sum(axis=-1).astype(jnp.int32)
+    packed = table_lookup_packed(base, tok, d_table)
     depth = (packed >> 16).astype(jnp.uint32)
     code = (packed & 0xFFFF).astype(jnp.uint32)
     data = code | (extra.astype(jnp.uint32) << depth)
@@ -267,15 +260,15 @@ def dc_token_data_bits(layout, d_table):
 
 
 def _pack_dc_impl(layout, d_table, ow, wcap):
-    from .pack_kernels import bitpack_groups_paired, compact_sections
+    from .pack_kernels import bitpack_groups_quad, compact_sections
 
     data, nbits = dc_token_data_bits(layout, d_table)
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    # Pair-merged packer; its per-chunk bounds skip the sparse layout's
-    # zero-width runs (the loop visits ~real-token-count/2 slots).
-    packed = bitpack_groups_paired(data, nbits, pos, ow)
+    # Quad-merged packer; its per-chunk bounds skip the sparse layout's
+    # zero-width runs (the loop visits ~real-token-count/4 slots).
+    packed = bitpack_groups_quad(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 
@@ -372,7 +365,7 @@ def pack_batch_sections(
     stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
 ):
     """Batched program B: N images' sections in one dispatch. d_ac/d_dc are
-    per-image tables [N, 64, 64]; stream holds N*G groups and layout N*Gd
+    per-image factored tables [N, 9, 64]; stream holds N*G groups and layout N*Gd
     DC groups. All sections land in the two shared word buffers."""
     from .pack_kernels import _pack_ac_impl
 

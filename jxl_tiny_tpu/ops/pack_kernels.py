@@ -200,10 +200,40 @@ def hist_base64(stream, totals):
 # ---------------------------------------------------------------------------
 
 
+def table_lookup_packed(base, tok, d_table):
+    """Factored (base ctx, token) -> depth*65536 + code bits lookup.
+
+    d_table: [9, 64] f32 (row 0: ctx->cluster map with values < 8; rows
+    1..8: per-cluster entries, exact in f32 < 2^21) or [G, 9, 64] for
+    per-group tables. base/tok: [G, T] i32. The cluster factoring keeps the
+    big one-hot-matmul intermediate at [G, T, 8] instead of [G, T, 64] —
+    an 8x smaller HBM footprint for the same exact result."""
+    per_g = d_table.ndim == 3
+    cmap = d_table[:, 0] if per_g else d_table[0]
+    t8 = d_table[:, 1:] if per_g else d_table[1:]
+    ar = jnp.arange(NUM_BASE_CTXS)
+    a = (base[..., None] == ar).astype(jnp.float32)  # [G, T, 64] (fused)
+    # Cluster ids are < 8: exact at any matmul precision.
+    cl = jnp.einsum(
+        "gtc,gc->gt" if per_g else "gtc,c->gt", a, cmap,
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    b = (tok[..., None] == ar).astype(jnp.float32)
+    # HIGHEST: table entries need >8 mantissa bits; default TPU precision
+    # would truncate them to bf16.
+    ad = jnp.einsum(
+        "gtk,gjk->gtj" if per_g else "gtk,jk->gtj", b, t8,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [G, T, 8]
+    sel = cl[..., None] == jnp.arange(t8.shape[-2])
+    return jnp.where(sel, ad, 0.0).sum(axis=-1).astype(jnp.int32)
+
+
 def token_data_bits(stream, totals, d_table):
-    """stream: [G, cap] u32 (base64<<16|value); d_table: [64, 64] f32 with
-    entry depth*65536 + canonical_code_bits (exact in f32: < 2^21), or
-    [G, 64, 64] for per-group tables (batched multi-image encodes).
+    """stream: [G, cap] u32 (base64<<16|value); d_table: factored [9, 64]
+    f32 code table (see table_lookup_packed), or [G, 9, 64] for per-group
+    tables (batched multi-image encodes).
 
     Returns (data [G, cap] u32, nbits [G, cap] i32): the LSB-first bit
     pattern and length of each token (code bits then hybrid-uint extra bits,
@@ -212,19 +242,7 @@ def token_data_bits(stream, totals, d_table):
     valid = jnp.arange(cap)[None, :] < totals[:, None]
     base = (stream >> 16).astype(jnp.int32) & 63
     tok, nb_extra, extra = _uint_token_extra(stream & 0xFFFF)
-    ar = jnp.arange(NUM_BASE_CTXS)
-    a = (base[..., None] == ar).astype(jnp.float32)  # [G, cap, 64]
-    # HIGHEST: table entries need >8 mantissa bits; default TPU precision
-    # would truncate them to bf16.
-    ad = jnp.einsum(
-        "gtc,ck->gtk" if d_table.ndim == 2 else "gtc,gck->gtk",
-        a,
-        d_table,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    b = (tok[..., None] == ar).astype(jnp.float32)
-    packed = (ad * b).sum(axis=-1).astype(jnp.int32)  # depth<<16 | code bits
+    packed = table_lookup_packed(base, tok, d_table)  # depth<<16 | code bits
     depth = (packed >> 16).astype(jnp.uint32)
     code = (packed & 0xFFFF).astype(jnp.uint32)
     data = code | (extra.astype(jnp.uint32) << depth)
@@ -340,14 +358,9 @@ def bitpack_groups_paired(data, nbits, pos, ow, ch=2048):
     Returns packed words [G, ow] u32 (identical to bitpack_groups)."""
     g, cap = data.shape
     assert cap % (2 * ch) == 0
-    n0 = nbits[:, 0::2].astype(jnp.uint32)
-    d0 = data[:, 0::2]
-    d1 = data[:, 1::2]
-    lo = d0 | jnp.where(n0 < 32, d1 << n0, 0)
-    hi = jnp.where(n0 == 0, 0, d1 >> (jnp.uint32(32) - jnp.minimum(n0, 31)))
-    hi = jnp.where(n0 == 0, 0, jnp.where(n0 < 32, hi, d1))
+    lo, hi, n2 = _pair_entries(data, nbits)
     pos2 = pos[:, 0::2]
-    pn = (nbits[:, 0::2] + nbits[:, 1::2]) > 0
+    pn = n2 > 0
     nch = (cap // 2) // ch
     slot = jnp.arange(ch)[None, None, :]
     bounds = (
@@ -370,6 +383,118 @@ def bitpack_groups_paired(data, nbits, pos, ow, ch=2048):
         lo[:, None, :],
         hi[:, None, :],
         pos2[:, None, :].astype(jnp.int32),
+    )
+    return out[:, 0]
+
+
+def _pair_entries(data, nbits):
+    """Merge adjacent (data, nbits<=28) tokens into (lo, hi, n<=56) 64-bit
+    entries (vectorized pre-pass shared by the pair/quad packers)."""
+    n0 = nbits[:, 0::2].astype(jnp.uint32)
+    d0 = data[:, 0::2]
+    d1 = data[:, 1::2]
+    lo = d0 | jnp.where(n0 < 32, d1 << n0, 0)
+    hi = jnp.where(n0 == 0, 0, d1 >> (jnp.uint32(32) - jnp.minimum(n0, 31)))
+    hi = jnp.where(n0 == 0, 0, jnp.where(n0 < 32, hi, d1))
+    return lo, hi, nbits[:, 0::2] + nbits[:, 1::2]
+
+
+def _merge_pairs(lo_a, hi_a, n_a, lo_b, hi_b, n_b):
+    """Concatenate two <=56-bit (lo, hi) entries into a <=112-bit 4-word
+    entry: entry b's bits start at offset n_a of entry a."""
+    s = (n_a & 31).astype(jnp.uint32)
+    c = n_a >> 5  # word carry: 0 or 1 (n_a <= 56)
+    ish = (jnp.uint32(32) - s) & 31
+    b0 = lo_b << s
+    b1 = jnp.where(s == 0, hi_b, (lo_b >> ish) | (hi_b << s))
+    b2 = jnp.where(s == 0, 0, hi_b >> ish)
+    w0 = lo_a | jnp.where(c == 0, b0, 0)
+    w1 = hi_a | jnp.where(c == 0, b1, b0)
+    w2 = jnp.where(c == 0, b2, b1)
+    w3 = jnp.where(c == 0, jnp.uint32(0), b2)
+    return w0, w1, w2, w3, n_a + n_b
+
+
+def _bitpack4_kernel(
+    bound_ref, q0_ref, q1_ref, q2_ref, q3_ref, pos_ref, out_ref, *, ow, ch
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        def zbody(i, _):
+            out_ref[0, 0, i] = jnp.uint32(0)
+            return 0
+
+        jax.lax.fori_loop(0, ow, zbody, 0)
+
+    n = bound_ref[0, 0, c]
+
+    def body(t, _):
+        p = pos_ref[0, 0, t]
+        q0 = q0_ref[0, 0, t]
+        q1 = q1_ref[0, 0, t]
+        q2 = q2_ref[0, 0, t]
+        q3 = q3_ref[0, 0, t]
+        w = jnp.minimum(p >> 5, ow - 5)
+        sh = (p & 31).astype(jnp.uint32)
+        ish = jnp.uint32(32) - sh
+        out_ref[0, 0, w] = out_ref[0, 0, w] | (q0 << sh)
+        z = sh == 0
+        m1 = jax.lax.select(z, q1, (q0 >> ish) | (q1 << sh))
+        out_ref[0, 0, w + 1] = out_ref[0, 0, w + 1] | m1
+        m2 = jax.lax.select(z, q2, (q1 >> ish) | (q2 << sh))
+        out_ref[0, 0, w + 2] = out_ref[0, 0, w + 2] | m2
+        m3 = jax.lax.select(z, q3, (q2 >> ish) | (q3 << sh))
+        out_ref[0, 0, w + 3] = out_ref[0, 0, w + 3] | m3
+        m4 = jax.lax.select(z, jnp.uint32(0), q3 >> ish)
+        out_ref[0, 0, w + 4] = out_ref[0, 0, w + 4] | m4
+        return 0
+
+    jax.lax.fori_loop(0, n, body, 0)
+
+
+def bitpack_groups_quad(data, nbits, pos, ow, ch=1024):
+    """Quad-merged bit packer: 4 adjacent tokens fuse into a <=112-bit
+    (4 x u32) entry in a vectorized pre-pass, so the scalar SMEM loop runs
+    a quarter of the per-token iterations (5 read-modify-writes per quad).
+
+    data/nbits/pos: [G, cap] per-token patterns, widths (<=28), absolute bit
+    positions (width-0 entries are no-ops). cap must be a multiple of 4*ch.
+    Returns packed words [G, ow] u32 (identical to bitpack_groups)."""
+    g, cap = data.shape
+    assert cap % (4 * ch) == 0
+    lo, hi, n2 = _pair_entries(data, nbits)
+    q0, q1, q2, q3, n4 = _merge_pairs(
+        lo[:, 0::2], hi[:, 0::2], n2[:, 0::2],
+        lo[:, 1::2], hi[:, 1::2], n2[:, 1::2],
+    )
+    pos4 = pos[:, 0::4]
+    nch = (cap // 4) // ch
+    slot = jnp.arange(ch)[None, None, :]
+    nz = (n4 > 0).reshape(g, nch, ch)
+    bounds = (nz * (slot + 1)).max(axis=2).astype(jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_bitpack4_kernel, ow=ow, ch=ch),
+        grid=(g, nch),
+        in_specs=[
+            pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
+        interpret=_interpret(),
+    )(
+        bounds[:, None, :],
+        q0[:, None, :],
+        q1[:, None, :],
+        q2[:, None, :],
+        q3[:, None, :],
+        pos4[:, None, :].astype(jnp.int32),
     )
     return out[:, 0]
 
@@ -433,7 +558,7 @@ def _pack_ac_impl(stream, totals, d_table, ow, wcap):
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    packed = bitpack_groups_paired(data, nbits, pos, ow)
+    packed = bitpack_groups_quad(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 

@@ -105,6 +105,31 @@ def test_bitpack_groups_paired_matches():
         assert np.array_equal(out[k], ref), f"group {k}"
 
 
+def test_bitpack_groups_quad_matches():
+    """Quad-merged packer must produce bit-identical words to the scalar
+    reference, including zero-width entries, runs of maximal widths, and
+    alignment-crossing offsets."""
+    rng = np.random.RandomState(11)
+    g, cap, ow = 2, 4096, 4096
+    nbits = rng.randint(0, 29, size=(g, cap)).astype(np.int32)
+    nbits[0, ::3] = 0  # interleaved zero-width entries (DC layout shape)
+    nbits[1, :64] = 28  # maximal widths: n_pair=56, quads cross 3 words
+    nbits[:, -7:] = 0
+    data = (rng.randint(0, 1 << 30, size=(g, cap)) & ((1 << np.maximum(nbits, 1)) - 1)).astype(
+        np.uint32
+    )
+    data[nbits == 0] = 0
+    pos = (np.cumsum(nbits, axis=1) - nbits).astype(np.int32)
+    out = np.asarray(
+        PK.bitpack_groups_quad(
+            jnp.asarray(data), jnp.asarray(nbits), jnp.asarray(pos), ow
+        )
+    )
+    for k in range(g):
+        ref, _ = _ref_bitpack(data[k], nbits[k], cap, ow)
+        assert np.array_equal(out[k], ref), f"group {k}"
+
+
 def test_token_data_bits_and_hist():
     rng = np.random.RandomState(2)
     g, cap = 2, 512
@@ -112,9 +137,14 @@ def test_token_data_bits_and_hist():
     value = rng.randint(0, 1 << 16, size=(g, cap))
     stream = ((base.astype(np.uint32) << 16) | value).astype(np.uint32)
     totals = np.array([512, 300], np.int32)
-    d_np = rng.randint(0, 16, size=(64, 64)).astype(np.uint32)
-    bits_np = rng.randint(0, 1 << 15, size=(64, 64)).astype(np.uint32)
-    d_table = ((d_np << 16) | bits_np).astype(np.float32)
+    cmap = rng.randint(0, 8, size=64).astype(np.int64)
+    d8 = rng.randint(0, 16, size=(8, 64)).astype(np.uint32)
+    bits8 = rng.randint(0, 1 << 15, size=(8, 64)).astype(np.uint32)
+    d_table = np.zeros((9, 64), np.float32)
+    d_table[0] = cmap
+    d_table[1:] = (d8 << 16) | bits8
+    d_np = d8[cmap]  # composed [64, 64] twin for the expectation
+    bits_np = bits8[cmap]
 
     data, nbits = PK.token_data_bits(
         jnp.asarray(stream), jnp.asarray(totals), jnp.asarray(d_table)
