@@ -88,9 +88,11 @@ def main():
     dev_times = []
     for _ in range(4):
         t = time.time()
-        out_a = analyze_image_packed(up, yb, xb, **job._kwargs)
+        out_a = analyze_image_packed(up, yb, xb, cap=job.cap, **job._kwargs)
         np.asarray(out_a["hists"].ravel()[:1])
         job.out_a = out_a
+        job._stream = out_a["stream"][:, : job.cap]
+        job._totals_d = out_a["totals"]
         job._dispatch_b()
         np.asarray(job.out_small[:1])
         dev_times.append(time.time() - t)

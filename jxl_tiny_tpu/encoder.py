@@ -373,6 +373,9 @@ def _writer_from_bits(raw_bytes: np.ndarray, nbits: int) -> BitWriter:
     return w
 
 
+_CAP_BUCKETS = (32768, 65536, 131072, 262144)
+
+
 def _split_f16_planes(img16: np.ndarray) -> np.ndarray:
     """f16 [3,H,W] -> byte planes [2,3,H,W] u8 (hi plane first).
 
@@ -406,7 +409,7 @@ class DeviceEncodeJob:
     """
 
     def __init__(self, img, distance=1.0, upload_dtype=np.float16,
-                 ow=8192, config=None):
+                 cap=32768, ow=8192, config=None):
         import jax.numpy as jnp
         from .ops.pipeline_jax import analyze_image_packed
         from .common import DEFAULT_CONFIG
@@ -416,6 +419,7 @@ class DeviceEncodeJob:
         distance = clamp_distance(distance)
         self.distp = compute_distance_params(distance)
         self.dim = ImageDim(img.shape[2], img.shape[1])
+        self.cap = cap
         self.ow = ow
         g = self.dim.num_groups
         yb_arr = np.empty(g, np.int32)
@@ -447,9 +451,10 @@ class DeviceEncodeJob:
             x_qm_mul=float(self.distp.x_qm_mul),
         )
 
-        def run_a():
+        def run_a(c):
             return analyze_image_packed(
                 jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr),
+                cap=c,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
                 **self._kwargs,
@@ -474,12 +479,13 @@ class DeviceEncodeJob:
             self._ow_dc = 8192
             self._dispatch_b()
         else:
-            self.out_a = run_a()  # dispatched; not synced
+            self.out_a = run_a(cap)  # dispatched; not synced
 
     def pack(self):
         """Sync program A's small outputs; build the entropy codes; dispatch
         the section-packing program. (One-pass static tier: the combined
-        program was already dispatched in __init__; nothing to do here.)"""
+        program was already dispatched in __init__; only the token-capacity
+        check remains.)"""
         import jax.numpy as jnp
         from .ops.pack_kernels import ac_base64_map
         from .entropy.entropy_write import (
@@ -488,8 +494,17 @@ class DeviceEncodeJob:
         )
 
         if self._static:
-            return  # the one-pass program was dispatched in __init__
+            g2 = 2 * (self.dim.num_groups + self.dim.num_dc_groups)
+            totals = self._small_sync()[g2:]
+            if int(totals.max(initial=0)) > self.cap:
+                self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+                self._dispatch_b()
+            return
 
+        totals = np.asarray(self.out_a["totals"])
+        if int(totals.max(initial=0)) > self.cap:
+            self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+            self.out_a = self._run_a(self.cap)
         self.meta = None  # host maps fetched only by the fallback path
         hists = np.asarray(self.out_a["hists"])
         self.full_code, d_table = build_ac_device_code(
@@ -502,6 +517,8 @@ class DeviceEncodeJob:
         # Program B: AC + DC section packing, one dispatch. wcaps sized for
         # worst-case alignment slack; the [1, wcap] output blocks must fit
         # VMEM (enormous images would need a padded per-group download).
+        self._stream = self.out_a["stream"][:, : self.cap]
+        self._totals_d = self.out_a["totals"]
         self._d_dev = jnp.asarray(d_table)
         self._ow_dc = 8192
         self._d_dc = jnp.asarray(d_table_dc)
@@ -521,6 +538,7 @@ class DeviceEncodeJob:
             out = analyze_pack_static(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
                 jnp.asarray(self.xb_arr), self._d_dev, self._d_dc,
+                cap=self.cap,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
                 ow_ac=self.ow, wcap_ac=self.wcap,
@@ -529,7 +547,7 @@ class DeviceEncodeJob:
             )
         else:
             out = pack_all_sections(
-                self.out_a["rows"], self.out_a["rows_cnt"], self._d_dev,
+                self._stream, self._totals_d, self._d_dev,
                 self.out_a["dc_layout"], self._d_dc,
                 ow_ac=self.ow, wcap_ac=self.wcap,
                 ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
@@ -542,7 +560,7 @@ class DeviceEncodeJob:
 
     def _small_sync(self):
         """One D2H transfer for all small section metadata (bits + offsets
-        for both section kinds)."""
+        for both section kinds, plus totals in the one-pass tier)."""
         if self._small_np is None:
             self._small_np = np.asarray(self.out_small)
         return self._small_np
@@ -618,6 +636,7 @@ def encode_image_device(
     img: np.ndarray,
     distance: float = 1.0,
     upload_dtype=np.float16,
+    cap: int = 32768,
     ow: int = 8192,
     config=None,
 ) -> bytes:
@@ -632,7 +651,7 @@ def encode_image_device(
     upload_dtype) or uint8 (sRGB-encoded 8-bit samples, linearized on device
     — the native path for 8-bit sources, quartering upload bytes).
     """
-    job = DeviceEncodeJob(img, distance, upload_dtype, ow, config=config)
+    job = DeviceEncodeJob(img, distance, upload_dtype, cap, ow, config=config)
     job.pack()
     return job.result()
 
@@ -641,6 +660,7 @@ def encode_image_device_mesh(
     img: np.ndarray,
     distance: float = 1.0,
     mesh=None,
+    cap: int = 32768,
     ow: int = 8192,
 ) -> bytes:
     """Multi-chip flagship encode: the group axis is sharded over `mesh`
@@ -668,19 +688,27 @@ def encode_image_device_mesh(
         mesh = make_mesh()
 
     groups, yb_arr, xb_arr = _extract_all_groups(img.astype(np.float32), dim)
-    out, _ = analyze_groups_packed_sharded(groups, yb_arr, xb_arr, distp, mesh)
+    out, _ = analyze_groups_packed_sharded(
+        groups, yb_arr, xb_arr, distp, mesh, cap=cap
+    )
+    totals = np.asarray(out["totals"])[:g]
+    if int(totals.max(initial=0)) > cap:
+        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+        out, _ = analyze_groups_packed_sharded(
+            groups, yb_arr, xb_arr, distp, mesh, cap=cap
+        )
     hist = np.asarray(out["hist"])
     meta = unpack_meta_u8(np.asarray(out["meta"])[:g])
     full_code, d_table = build_ac_device_code(hist, ac_base64_map())
 
     packed = pack_ac_sections_sharded(
-        out["rows"], out["rows_cnt"], d_table, mesh, ow=ow
+        out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
     )
     bits = np.asarray(packed["bits"])
     if int(bits[:g].max(initial=0)) > ow * 32 - 32:
         ow = _next_bucket((8192, 32768, 131072), (int(bits.max()) + 31) // 32)
         packed = pack_ac_sections_sharded(
-            out["rows"], out["rows_cnt"], d_table, mesh, ow=ow
+            out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
         )
         bits = np.asarray(packed["bits"])
     offs = np.asarray(packed["word_offs"])
@@ -721,6 +749,7 @@ def encode_batch_device(
     imgs,
     distance: float = 1.0,
     upload_dtype=np.float16,
+    cap: int = 32768,
     ow: int = 8192,
 ) -> list:
     """Batched flagship encode: N same-sized images in ONE pair of device
@@ -773,10 +802,17 @@ def encode_batch_device(
         x_qm_mul=float(distp.x_qm_mul),
     )
 
-    out_a = analyze_batch_packed(
-        jnp.asarray(batch), jnp.asarray(yb_flat), jnp.asarray(xb_flat),
-        **kwargs,
-    )
+    def run_a(c):
+        return analyze_batch_packed(
+            jnp.asarray(batch), jnp.asarray(yb_flat), jnp.asarray(xb_flat),
+            cap=c, **kwargs,
+        )
+
+    out_a = run_a(cap)
+    totals = np.asarray(out_a["totals"])
+    if int(totals.max(initial=0)) > cap:
+        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+        out_a = run_a(cap)
     hists = np.asarray(out_a["hists"])  # [N, 2, 64, 64]
 
     base_map = ac_base64_map()
@@ -789,12 +825,14 @@ def encode_batch_device(
         full_codes.append(fc)
         dc_codes.append(dcode)
 
+    stream = out_a["stream"][:, :cap]
+    totals_d = out_a["totals"]
     wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
     ow_dc = 8192
     wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
     while True:
         out_b = pack_batch_sections(
-            out_a["rows"], out_a["rows_cnt"], jnp.asarray(d_ac),
+            stream, totals_d, jnp.asarray(d_ac),
             out_a["dc_layout"], jnp.asarray(d_dc),
             ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
         )

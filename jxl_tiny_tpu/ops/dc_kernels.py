@@ -266,8 +266,9 @@ def _pack_dc_impl(layout, d_table, ow, wcap):
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    # Quad-merged packer; its per-chunk bounds skip the sparse layout's
-    # zero-width runs (the loop visits ~real-token-count/4 slots).
+    # Variable-window oct packer; its per-chunk bounds skip the sparse
+    # layout's zero-width runs and each entry writes only the output words
+    # it overlaps.
     packed = bitpack_groups_var(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
@@ -284,14 +285,13 @@ def pack_dc_sections(layout, d_table, ow, wcap):
     jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
 )
 def pack_all_sections(
-    rows, rows_cnt, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
 ):
     """Single program B: AC + DC section packing in one dispatch (one
-    device roundtrip on high-latency links). AC tokens arrive in the
-    emission-row layout (no compaction pass anywhere)."""
-    from .pack_kernels import _pack_ac_rows_impl
+    device roundtrip on high-latency links)."""
+    from .pack_kernels import _pack_ac_impl
 
-    ac = _pack_ac_rows_impl(rows, rows_cnt, d_ac, ow_ac, wcap_ac)
+    ac = _pack_ac_impl(stream, totals, d_ac, ow_ac, wcap_ac)
     dc = _pack_dc_impl(layout, d_dc, ow_dc, wcap_dc)
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
@@ -312,6 +312,7 @@ def pack_all_sections(
         "scale",
         "scale_dc",
         "x_qm_mul",
+        "cap",
         "cfl",
         "blocks",
         "ow_ac",
@@ -331,6 +332,7 @@ def analyze_pack_static(
     scale,
     scale_dc,
     x_qm_mul,
+    cap,
     cfl,
     blocks,
     ow_ac,
@@ -346,31 +348,34 @@ def analyze_pack_static(
 
     a = analyze_image_packed(
         image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
-        x_qm_mul, cfl, blocks,
+        x_qm_mul, cap, cfl, blocks,
     )
-    return pack_all_sections(
-        a["rows"], a["rows_cnt"], d_ac, a["dc_layout"], d_dc,
+    b = pack_all_sections(
+        a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"], d_dc,
         ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
     )
+    b["totals"] = a["totals"]
+    b["small"] = jnp.concatenate([b["small"], a["totals"].astype(jnp.int32)])
+    return b
 
 
 @functools.partial(
     jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
 )
 def pack_batch_sections(
-    rows, rows_cnt, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
 ):
     """Batched program B: N images' sections in one dispatch. d_ac/d_dc are
-    per-image factored tables [N, 9, 64]; rows holds N*G groups and layout
-    N*Gd DC groups. All sections land in the two shared word buffers."""
-    from .pack_kernels import _pack_ac_rows_impl
+    per-image factored tables [N, 9, 64]; stream holds N*G groups and layout N*Gd
+    DC groups. All sections land in the two shared word buffers."""
+    from .pack_kernels import _pack_ac_impl
 
     n = d_ac.shape[0]
-    g_per = rows.shape[0] // n
+    g_per = stream.shape[0] // n
     gd_per = layout.shape[0] // n
     d_ac_pg = jnp.repeat(d_ac, g_per, axis=0)
     d_dc_pg = jnp.repeat(d_dc, gd_per, axis=0)
-    ac = _pack_ac_rows_impl(rows, rows_cnt, d_ac_pg, ow_ac, wcap_ac)
+    ac = _pack_ac_impl(stream, totals, d_ac_pg, ow_ac, wcap_ac)
     dc = _pack_dc_impl(layout, d_dc_pg, ow_dc, wcap_dc)
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],

@@ -7,27 +7,22 @@ scarce resource, so the final per-group section *bits* are produced on device
 and only ~compressed-size bytes cross the link:
 
   program A (pipeline_jax.analyze_image_packed):
-      pixels -> tokens in the fixed emission-row layout [G, ROWS, 128] ->
+      pixels -> tokens in emission-row layout -> compact_stream (Pallas) ->
       base-64 histograms (one-hot outer-product matmul, MXU)
-  host: cluster histograms (<=8), build canonical prefix codes, compose the
+  host: cluster histograms (<=8), build canonical prefix codes as the
       factored [9, 64] (cluster map | depth, bits) table      (~tiny)
-  program B (pack_ac_rows):
-      per-slot (data, nbits) via factored one-hot table lookup (MXU) ->
-      absolute bit positions (one flat cumsum; empty slots are width 0) ->
-      vectorized pair->quad->oct entry merge -> row-bounded variable-window
-      scalar bit-pack (Pallas, SMEM) -> aligned word-compaction of all
-      sections into one buffer
+  program B (pack_ac_sections):
+      per-token (data, nbits) via factored one-hot table lookup (MXU) ->
+      per-group bit positions (cumsum) -> vectorized pair->quad->oct entry
+      merge -> variable-window scalar bit-pack (Pallas, SMEM; each <=224-bit
+      entry writes only the words it overlaps) -> aligned word-compaction
+      of all sections into one buffer
 
-There is deliberately NO token-compaction pass: tokens stay in the fixed row
-layout end to end, and the scalar packer skips empty slot tails via per-row
-bounds — the serial work is ~tokens/8 oct entries, each touching only the
-output words it overlaps.
-
-Design constraints learned from hardware measurements (tools/microbench.py):
+Design constraints learned from hardware measurements (see repo history):
 random gathers/scatters cost ~10-16 ns/element on TPU, so every table lookup
-here is either arithmetic, a step-function, or a one-hot matmul; scalar SMEM
-accesses in the packer cost ~3 ns each, so the entry merges happen
-vectorized and the scalar loop only writes words that carry real bits.
+here is either arithmetic, a step-function, or a one-hot matmul; vector
+stores to dynamic offsets must be 128-lane aligned, so the token compaction
+kernel places each row with a dynamic roll and ORs into an aligned window.
 """
 import functools
 
@@ -110,7 +105,66 @@ NUM_BASE_CTXS = 64
 
 
 # ---------------------------------------------------------------------------
-# Histograms: token entries -> [64, 64] counts (one-hot outer product)
+# Token compaction: emission rows -> per-group dense stream
+# ---------------------------------------------------------------------------
+
+
+def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+
+    def body(r, _):
+        s = meta_ref[0, 0, r]
+        c = meta_ref[0, 1, r]
+
+        @pl.when(c > 0)  # continuation cells have empty rows; skip the RMW
+        def _():
+            a = s & (W - 1)
+            w0 = jnp.minimum((s >> 7) * W, cap - W)
+            w0 = pl.multiple_of(w0, W)
+            row = tok_ref[0, r, :].reshape(1, W)
+            ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
+            rot = pltpu.roll(ext, a, axis=1)
+            contrib = jnp.where(
+                (lanes >= a) & (lanes < a + c), rot, jnp.uint32(0)
+            )
+            cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+            out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+
+        return 0
+
+    jax.lax.fori_loop(0, ROWS, body, 0)
+
+
+def compact_stream(rows_tok, rows_cnt, cap):
+    """rows_tok: [G, ROWS, 128] u32; rows_cnt: [G, ROWS] i32.
+
+    Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
+    at positions [start_r, start_r + cnt_r) of the group's stream; positions
+    >= totals[g] are zero. Groups whose totals exceed `cap` are truncated
+    (callers re-run at a larger cap — totals is exact either way)."""
+    g = rows_tok.shape[0]
+    ends = jnp.cumsum(rows_cnt.astype(jnp.int32), axis=1)
+    starts = ends - rows_cnt
+    meta = jnp.stack([starts, rows_cnt.astype(jnp.int32)], axis=1)  # [G,2,ROWS]
+    stream = pl.pallas_call(
+        functools.partial(_compact_kernel, cap=cap),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 2, ROWS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ROWS, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        interpret=_interpret(),
+    )(meta, rows_tok)
+    return stream[:, 0], ends[:, -1]
+
+
+# ---------------------------------------------------------------------------
+# Histograms: [G, cap] stream -> [64, 64] counts (one-hot outer product)
 # ---------------------------------------------------------------------------
 
 
@@ -136,26 +190,6 @@ def hist_base64(stream, totals):
     tok, _, _ = _uint_token_extra(stream & 0xFFFF)
     ar = jnp.arange(NUM_BASE_CTXS)
     a = ((base[..., None] == ar) & valid[..., None]).astype(jnp.bfloat16)
-    b = (tok[..., None] == ar).astype(jnp.bfloat16)
-    hist = jnp.einsum(
-        "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
-    )
-    return hist.astype(jnp.uint32)
-
-
-def hist_rows(rows_tok, rows_cnt):
-    """[G, ROWS, 128] emission-row tokens + per-row counts -> [64, 64]
-    histogram (same one-hot outer product as hist_base64; slots past each
-    row's count are masked out)."""
-    g = rows_tok.shape[0]
-    valid = jnp.arange(W)[None, None, :] < rows_cnt[..., None]
-    flat = rows_tok.reshape(g, -1)
-    base = (flat >> 16).astype(jnp.int32) & 63
-    tok, _, _ = _uint_token_extra(flat & 0xFFFF)
-    ar = jnp.arange(NUM_BASE_CTXS)
-    a = ((base[..., None] == ar) & valid.reshape(g, -1)[..., None]).astype(
-        jnp.bfloat16
-    )
     b = (tok[..., None] == ar).astype(jnp.bfloat16)
     hist = jnp.einsum(
         "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
@@ -286,7 +320,7 @@ def bitpack_groups(data, pos, totals, ow, ch=2048, chunk_bounds=None):
 
 def _pair_entries(data, nbits):
     """Merge adjacent (data, nbits<=28) tokens into (lo, hi, n<=56) 64-bit
-    entries (vectorized pre-pass shared by the pair/quad packers)."""
+    entries (vectorized pre-pass of the oct entry merge)."""
     n0 = nbits[:, 0::2].astype(jnp.uint32)
     d0 = data[:, 0::2]
     d1 = data[:, 1::2]
@@ -397,8 +431,11 @@ def _bitpack_var_kernel(bound_ref, qall_ref, pos_ref, n8_ref, out_ref, *, ow, ch
 def bitpack_groups_var(data, nbits, pos, ow, ch=512):
     """Variable-window oct packer: 8 adjacent tokens fuse into a <=224-bit
     entry (vectorized pair->quad->oct merges); the scalar loop then writes
-    only the words each entry actually overlaps. data/nbits/pos as
-    bitpack_groups_quad; cap % (8*ch) == 0. Returns [G, ow] u32."""
+    only the words each entry actually overlaps.
+
+    data/nbits/pos: [G, cap] per-token bit patterns, widths (<=28), and
+    absolute bit positions (width-0 entries are no-ops); cap % (8*ch) == 0.
+    Returns packed words [G, ow] u32."""
     g, cap = data.shape
     assert cap % (8 * ch) == 0
     qall, n8 = _oct_entries(data, nbits)
@@ -428,74 +465,6 @@ def bitpack_groups_var(data, nbits, pos, ow, ch=512):
     return out[:, 0]
 
 
-def _bitpack_rows_kernel(meta_ref, qall_ref, pos_ref, n8_ref, out_ref, *, ow, rc, opr):
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        def zbody(i, _):
-            out_ref[0, 0, i] = jnp.uint32(0)
-            return 0
-
-        jax.lax.fori_loop(0, ow, zbody, 0)
-
-    def row_body(r, _):
-        nb = meta_ref[0, 0, r]
-
-        def body(t, _):
-            i = r * opr + t
-            _emit_entry(
-                qall_ref, i * 8, pos_ref[0, 0, i], n8_ref[0, 0, i], out_ref, ow
-            )
-            return 0
-
-        jax.lax.fori_loop(0, nb, body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, rc, row_body, 0)
-
-
-def bitpack_rows(data, nbits, pos, counts, ow, rc=256):
-    """Bit-pack straight from a fixed row layout — no token compaction pass.
-
-    data/nbits/pos: [G, R, S] per-slot bit patterns, widths (<=28), absolute
-    bit positions (slots >= counts[g, r] have width 0); counts: [G, R] valid
-    slots per row. S must be a multiple of 8 and R a multiple of rc. Slots
-    merge 8-wide into <=224-bit oct entries (vectorized); the scalar loop
-    visits ceil(counts/8) octs per row and only the words each entry
-    overlaps, so empty slot tails cost nothing. Returns [G, ow] u32."""
-    g, r, s = data.shape
-    assert s % 8 == 0 and r % rc == 0
-    opr = s // 8  # octs per row
-    qall, n8 = _oct_entries(data.reshape(g, -1), nbits.reshape(g, -1))
-    pos8 = pos.reshape(g, -1)[:, 0::8]
-    bounds = -(-counts.astype(jnp.int32) // 8)  # [G, R] octs per row
-    nch = r // rc
-    out = pl.pallas_call(
-        functools.partial(_bitpack_rows_kernel, ow=ow, rc=rc, opr=opr),
-        grid=(g, nch),
-        in_specs=[
-            pl.BlockSpec((1, 1, rc), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (1, 1, rc * opr * 8), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, rc * opr), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, rc * opr), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
-        interpret=_interpret(),
-    )(
-        bounds[:, None, :],
-        qall.reshape(g, 1, -1),
-        pos8.reshape(g, 1, -1).astype(jnp.int32),
-        n8.reshape(g, 1, -1).astype(jnp.int32),
-    )
-    return out[:, 0]
 
 
 # ---------------------------------------------------------------------------
@@ -552,40 +521,23 @@ def compact_sections(packed, bits, wcap):
 # ---------------------------------------------------------------------------
 
 
-def _pack_ac_rows_impl(rows_tok, rows_cnt, d_table, ow, wcap):
-    """AC sections straight from the emission-row token layout: per-slot
-    (data, nbits) via the factored table lookup (slots past each row's count
-    get width 0), absolute bit positions by one flat cumsum, then the
-    row-bounded bit packer — no token-compaction pass anywhere."""
-    g = rows_tok.shape[0]
-    flat = rows_tok.reshape(g, -1)
-    valid = (jnp.arange(W)[None, None, :] < rows_cnt[..., None]).reshape(g, -1)
-    base = (flat >> 16).astype(jnp.int32) & 63
-    tok, nb_extra, extra = _uint_token_extra(flat & 0xFFFF)
-    packed = table_lookup_packed(base, tok, d_table)
-    depth = (packed >> 16).astype(jnp.uint32)
-    code = (packed & 0xFFFF).astype(jnp.uint32)
-    data = jnp.where(valid, code | (extra.astype(jnp.uint32) << depth), 0)
-    nbits = (depth.astype(jnp.int32) + nb_extra) * valid
+def _pack_ac_impl(stream, totals, d_table, ow, wcap):
+    data, nbits = token_data_bits(stream, totals, d_table)
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    packed_words = bitpack_rows(
-        data.reshape(g, ROWS, W), nbits.reshape(g, ROWS, W),
-        pos.reshape(g, ROWS, W), rows_cnt, ow,
-    )
-    words, offs = compact_sections(packed_words, bits, wcap)
+    packed = bitpack_groups_var(data, nbits, pos, ow)
+    words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 
 
 @functools.partial(jax.jit, static_argnames=("ow", "wcap"))
-def pack_ac_rows(rows_tok, rows_cnt, d_table, ow, wcap):
-    """Device program B (AC part). rows_tok: [G, ROWS, 128] u32 resident
-    emission-row tokens; rows_cnt: [G, ROWS]; d_table: factored [9, 64] f32
-    code table (see table_lookup_packed).
+def pack_ac_sections(stream, totals, d_table, ow, wcap):
+    """Device program B. stream: [G, cap(+128)] u32 resident tokens;
+    d_table: [64, 64] f32 (depth<<16|bits, composed with final clustering).
 
     Returns dict(words [wcap] u32, bits [G] i32, word_offs [G] i32)."""
-    return _pack_ac_rows_impl(rows_tok, rows_cnt, d_table, ow, wcap)
+    return _pack_ac_impl(stream, totals, d_table, ow, wcap)
 
 
 def rows_from_tokens(tokens_full, count_full):

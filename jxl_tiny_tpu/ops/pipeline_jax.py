@@ -1020,6 +1020,7 @@ def unpack_meta_u8(meta):
         "scale",
         "scale_dc",
         "x_qm_mul",
+        "cap",
         "cfl",
         "blocks",
     ),
@@ -1033,13 +1034,14 @@ def analyze_image_packed(
     scale,
     scale_dc,
     x_qm_mul,
+    cap,
     cfl=True,
     blocks=True,
 ):
     """Device program A of the flagship path: whole image -> device-resident
-    emission-row token layout (base-64 contexts) + base histograms + the
-    packed per-group host maps. Only `hists` and `meta` are meant to cross
-    the link; `rows`/`rows_cnt` stay resident and feed pack_ac_rows.
+    emission-ordered token stream (base-64 contexts) + base histograms + the
+    packed per-group host maps. Only `hist`, `totals`, and `meta` are meant
+    to cross the link; `stream` stays resident and feeds pack_ac_sections.
 
     cfl / blocks: capability tiers (common.EncoderConfig) — computed
     chroma-from-luma and 16x8/8x16 DCT selection; off mirrors the reference
@@ -1047,7 +1049,7 @@ def analyze_image_packed(
     groups = extract_groups_device(image)
     out = analyze_groups_packed(
         groups, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
-        x_qm_mul, cfl, blocks, return_maps=True,
+        x_qm_mul, cap, cfl, blocks, return_maps=True,
     )
     maps = out.pop("_maps")
     dc_layout, dchist = dc_layout_from_maps(
@@ -1067,6 +1069,7 @@ def analyze_groups_packed(
     scale,
     scale_dc,
     x_qm_mul,
+    cap,
     cfl=True,
     blocks=True,
     return_maps=False,
@@ -1075,7 +1078,7 @@ def analyze_groups_packed(
     data parallel throughout — the unit parallel.sharding shard_maps over a
     device mesh (the group axis is the codec's only distribution dimension,
     enc_frame.cc:714-715,837-838)."""
-    from .pack_kernels import hist_rows, rows_from_tokens
+    from .pack_kernels import compact_stream, hist_base64, rows_from_tokens
 
     g = groups.shape[0]
     groups = groups.astype(F32)
@@ -1120,12 +1123,10 @@ def analyze_groups_packed(
         base_ctx=True,
     )
     rows_tok, rows_cnt = rows_from_tokens(tokens_full, count_full)
-    hist = hist_rows(rows_tok, rows_cnt)
+    stream, totals = compact_stream(rows_tok, rows_cnt, cap)
+    hist = hist_base64(stream[:, :cap], jnp.minimum(totals, cap))
     meta = _pack_meta_u8(quant_dc, raw_qf, strategy, is_first, ytox, ytob)
-    out = dict(
-        rows=rows_tok, rows_cnt=rows_cnt,
-        totals=rows_cnt.sum(axis=1).astype(jnp.int32), hist=hist, meta=meta,
-    )
+    out = dict(stream=stream, totals=totals, hist=hist, meta=meta)
     if return_maps:
         out["_maps"] = (quant_dc, raw_qf, strategy, is_first, ytox, ytob)
     return out
@@ -1139,6 +1140,7 @@ def analyze_groups_packed(
         "scale",
         "scale_dc",
         "x_qm_mul",
+        "cap",
         "cfl",
         "blocks",
     ),
@@ -1152,6 +1154,7 @@ def analyze_batch_packed(
     scale,
     scale_dc,
     x_qm_mul,
+    cap,
     cfl=True,
     blocks=True,
 ):
@@ -1161,8 +1164,8 @@ def analyze_batch_packed(
     small-image batches, where per-image link round-trips would dominate.
 
     images: [N, 3, H, W]; yb_valid/xb_valid: [N*G] (per image, concatenated).
-    Returns dict(rows [N*G, ROWS, 128], rows_cnt [N*G, ROWS], hists
-    [N, 2, 64, 64], dc_layout [N*Gd, DC_CAP])."""
+    Returns dict(stream [N*G, cap+128], totals [N*G], hists [N, 2, 64, 64],
+    dc_layout [N*Gd, DC_CAP])."""
     n = images.shape[0]
     groups = jax.vmap(extract_groups_device)(images)  # [N, G, 3, 256, 256]
     g_per = groups.shape[1]
@@ -1175,19 +1178,19 @@ def analyze_batch_packed(
         scale,
         scale_dc,
         x_qm_mul,
+        cap,
         cfl,
         blocks,
         return_maps=True,
     )
     maps = out.pop("_maps")
-    from .pack_kernels import hist_rows
+    from .pack_kernels import hist_base64
 
     # Per-image AC histograms.
-    rows = out["rows"]
-    rows_cnt = out["rows_cnt"]
-    ac_hists = jax.vmap(hist_rows)(
-        rows.reshape((n, g_per) + rows.shape[1:]),
-        rows_cnt.reshape((n, g_per) + rows_cnt.shape[1:]),
+    stream = out["stream"]
+    totals = out["totals"]
+    ac_hists = jax.vmap(lambda s, t: hist_base64(s[:, :cap], jnp.minimum(t, cap)))(
+        stream.reshape(n, g_per, -1), totals.reshape(n, g_per)
     )  # [N, 64, 64]
     # Per-image DC layouts, vectorized over the image axis (one traced
     # instance regardless of batch size).

@@ -76,16 +76,17 @@ def analyze_groups_sharded(
 
 
 def analyze_groups_packed_sharded(
-    groups, yb_valid, xb_valid, distp, mesh: Mesh, cfl=True, blocks=True,
+    groups, yb_valid, xb_valid, distp, mesh: Mesh, cap=32768,
+    cfl=True, blocks=True,
 ):
     """Flagship program A under shard_map: the group axis is sharded over the
-    mesh; each shard runs the full analysis locally and the base-64
-    histogram partials are all-reduced (integer psum — order invariant, so
-    the resulting entropy code and final bytes are identical for any mesh
-    shape; test_sharding asserts this).
+    mesh; each shard runs the full analysis + Pallas compaction locally and
+    the base-64 histogram partials are all-reduced (integer psum — order
+    invariant, so the resulting entropy code and final bytes are identical
+    for any mesh shape; test_sharding asserts this).
 
-    Returns dict(rows [G, ROWS, 128] sharded, rows_cnt [G, ROWS], totals
-    [G], hist [64,64] replicated, meta [G, META_BYTES])."""
+    Returns dict(stream [G,cap+128] sharded, totals [G], hist [64,64]
+    replicated, meta [G, META_BYTES])."""
     from ..ops.pipeline_jax import analyze_groups_packed
 
     shard_map = getattr(jax, "shard_map", None)
@@ -100,7 +101,7 @@ def analyze_groups_packed_sharded(
             scale=float(distp.scale),
             scale_dc=float(distp.scale_dc),
             x_qm_mul=float(distp.x_qm_mul),
-            cfl=cfl, blocks=blocks,
+            cap=cap, cfl=cfl, blocks=blocks,
         )
         out["hist"] = jax.lax.psum(out["hist"].astype(jnp.int32), "g").astype(
             jnp.uint32
@@ -111,9 +112,7 @@ def analyze_groups_packed_sharded(
         shard_fn,
         mesh=mesh,
         in_specs=(P("g"), P("g"), P("g")),
-        out_specs=dict(
-            rows=P("g"), rows_cnt=P("g"), totals=P("g"), hist=P(), meta=P("g")
-        ),
+        out_specs=dict(stream=P("g"), totals=P("g"), hist=P(), meta=P("g")),
         check_vma=False,
     )
     gshard, ybs, xbs, g = shard_groups(
@@ -123,25 +122,24 @@ def analyze_groups_packed_sharded(
     return jax.jit(f)(gshard, ybs, xbs), g
 
 
-def pack_ac_sections_sharded(rows, rows_cnt, d_table, mesh: Mesh, ow=8192):
-    """Program B under shard_map: per-shard bit-packing + word compaction
-    straight from the sharded emission-row token layout.
+def pack_ac_sections_sharded(stream, totals, d_table, mesh: Mesh, ow=8192):
+    """Program B under shard_map: per-shard bit-packing + word compaction.
 
     Returns dict(words [n_dev, wcap] — shard k's compacted buffer in row k,
     bits [G], word_offs [G] — offsets local to each shard's buffer)."""
-    from ..ops.pack_kernels import pack_ac_rows
+    from ..ops.pack_kernels import pack_ac_sections
 
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is None:  # older jax
         from jax.experimental.shard_map import shard_map
 
     n = mesh.devices.size
-    g = rows.shape[0]
+    g = stream.shape[0]
     assert g % n == 0
     wcap = min(1 << int((g // n) * ow).bit_length(), 2 * 1024 * 1024)
 
-    def shard_fn(r, rc, d):
-        out = pack_ac_rows(r, rc, d, ow=ow, wcap=wcap)
+    def shard_fn(s, t, d):
+        out = pack_ac_sections(s, t, d, ow=ow, wcap=wcap)
         return dict(
             words=out["words"][None], bits=out["bits"], word_offs=out["word_offs"]
         )
@@ -153,9 +151,7 @@ def pack_ac_sections_sharded(rows, rows_cnt, d_table, mesh: Mesh, ow=8192):
         out_specs=dict(words=P("g"), bits=P("g"), word_offs=P("g")),
         check_vma=False,
     )
-    return jax.jit(f)(
-        rows, rows_cnt, jax.device_put(d_table, NamedSharding(mesh, P()))
-    )
+    return jax.jit(f)(stream, totals, jax.device_put(d_table, NamedSharding(mesh, P())))
 
 
 def ac_histograms(tokens, counts):

@@ -31,6 +31,23 @@ def test_base64_map_twin():
     assert np.array_equal(dev, m[n_nz:])
 
 
+def test_compact_stream():
+    rng = np.random.RandomState(0)
+    g = 2
+    cnt = rng.poisson(4.0, size=(g, PK.ROWS)).clip(0, 128).astype(np.int32)
+    cnt[1, :10] = 128
+    tok = rng.randint(1, 1 << 27, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
+    cap = 16384
+    stream, totals = PK.compact_stream(jnp.asarray(tok), jnp.asarray(cnt), cap)
+    stream = np.asarray(stream)
+    totals = np.asarray(totals)
+    assert np.array_equal(totals, cnt.sum(axis=1))
+    for k in range(g):
+        ref = np.concatenate([tok[k, r, : cnt[k, r]] for r in range(PK.ROWS)])
+        assert np.array_equal(stream[k, : len(ref)], ref)
+        assert (stream[k, len(ref) : cap] == 0).all()
+
+
 def _ref_bitpack(data, nbits, total, ow):
     out = np.zeros(ow, np.uint32)
     p = 0
@@ -67,7 +84,7 @@ def test_bitpack_groups():
 
 def _rand_token_fields(rng, g, cap):
     nbits = rng.randint(0, 29, size=(g, cap)).astype(np.int32)
-    nbits[0, ::3] = 0
+    nbits[0, ::3] = 0  # interleaved zero-width entries (DC layout shape)
     nbits[0, 64:192] = 0  # whole zero octs (bounds skipping)
     nbits[1, :64] = 28  # maximal widths: n_oct=224
     nbits[:, -11:] = 0
@@ -93,36 +110,6 @@ def test_bitpack_groups_var_matches():
     )
     for k in range(g):
         ref, _ = _ref_bitpack(data[k], nbits[k], cap, ow)
-        assert np.array_equal(out[k], ref), f"group {k}"
-
-
-def test_bitpack_rows_matches():
-    """Row-layout packer: tokens live in [G, R, S] slots with per-row valid
-    counts (zero-width tails); bits must match packing the row-major valid
-    tokens in order."""
-    rng = np.random.RandomState(13)
-    g, r, s, ow = 2, 256, 64, 4096
-    counts = rng.randint(0, s + 1, size=(g, r)).astype(np.int32)
-    counts[0, 10:50] = 0  # empty row runs
-    slot = np.arange(s)[None, None, :]
-    nbits = rng.randint(1, 29, size=(g, r, s)).astype(np.int32)
-    nbits = np.where(slot < counts[:, :, None], nbits, 0)
-    data = (rng.randint(0, 1 << 30, size=(g, r, s)) & ((1 << np.maximum(nbits, 1)) - 1)).astype(
-        np.uint32
-    )
-    data[nbits == 0] = 0
-    flat_nb = nbits.reshape(g, -1)
-    pos = (np.cumsum(flat_nb, axis=1) - flat_nb).reshape(g, r, s).astype(np.int32)
-    out = np.asarray(
-        PK.bitpack_rows(
-            jnp.asarray(data), jnp.asarray(nbits), jnp.asarray(pos),
-            jnp.asarray(counts), ow, rc=64,
-        )
-    )
-    for k in range(g):
-        ref, _ = _ref_bitpack(
-            data[k].reshape(-1), nbits[k].reshape(-1), r * s, ow
-        )
         assert np.array_equal(out[k], ref), f"group {k}"
 
 

@@ -78,18 +78,24 @@ def test_packed_path_shard_invariance():
     assert np.array_equal(np.asarray(out1["totals"]), np.asarray(out8["totals"]))
     assert np.array_equal(np.asarray(out1["hist"]), np.asarray(out8["hist"]))
     assert np.array_equal(np.asarray(out1["meta"]), np.asarray(out8["meta"]))
-    assert np.array_equal(np.asarray(out1["rows"]), np.asarray(out8["rows"]))
-    assert np.array_equal(
-        np.asarray(out1["rows_cnt"]), np.asarray(out8["rows_cnt"])
-    )
+    s1 = np.asarray(out1["stream"])
+    s8 = np.asarray(out8["stream"])
+    for k in range(8):
+        t = int(np.asarray(out1["totals"])[k])
+        assert np.array_equal(s1[k, :t], s8[k, :t])
 
     # Through program B: identical section bits regardless of mesh shape.
     from jxl_tiny_tpu.entropy.entropy_write import build_ac_device_code
     from jxl_tiny_tpu.ops.pack_kernels import ac_base64_map
 
     _, d_table = build_ac_device_code(np.asarray(out1["hist"]), ac_base64_map())
-    b1 = pack_ac_sections_sharded(out1["rows"], out1["rows_cnt"], d_table, mesh1)
-    b8 = pack_ac_sections_sharded(out8["rows"], out8["rows_cnt"], d_table, mesh8)
+    cap = 32768
+    b1 = pack_ac_sections_sharded(
+        out1["stream"][:, :cap], out1["totals"], d_table, mesh1
+    )
+    b8 = pack_ac_sections_sharded(
+        out8["stream"][:, :cap], out8["totals"], d_table, mesh8
+    )
     bits1 = np.asarray(b1["bits"])
     bits8 = np.asarray(b8["bits"])
     assert np.array_equal(bits1, bits8)

@@ -5,12 +5,21 @@ The tunneled link adds ~25-40 ms of dispatch+sync overhead to every jitted
 call, swamping single-call timings. This harness runs each op K times inside
 one jit (a lax.scan whose carry perturbs the inputs so XLA cannot hoist or
 CSE the op) and reports (t[K=5] - t[K=1]) / 4 — the true marginal device
-cost of one application. Measured history (8MP, v5e):
+cost of one application.
 
-  round 1 flagship:  compact_stream 32.8 | AC bitpack(pair) 30.2 |
-                     DC bitpack(pair) ~20 | einsums/cumsum/hist ~0-0.6
-  rows refactor:     compact gone; bitpack_rows / bitpack_groups_var
-                     write only overlapped words (~2 per oct entry)
+Measured history (8MP, d=1.0, v5e; ms per application):
+
+  einsums (token_data_bits, dc variant)   ~0     (fused; MXU)
+  hist_base64 on the compact stream        0.6
+  pos cumsum on the compact stream         0.2
+  compact_stream rmw / acc                32.8 / 38.9
+  bitpack pair / quad / var               30.2 / 21.7 / ~15
+
+  A rows-layout redesign (no compaction; tokens packed straight from the
+  [G, 3072, 128] emission rows) was built, measured, and reverted: every
+  downstream stage paid the 12x slot count (tdb 17, cumsum 7, oct merge 19,
+  row-bounded kernel 37, hist 13) for 86 ms of AC packing vs ~50 here —
+  token compaction earns its 33 ms by shrinking all downstream work.
 """
 import os
 import sys
@@ -58,22 +67,45 @@ def main():
     job = DeviceEncodeJob(u8, 1.0)
     job.pack()
     job.result()
-    ow = job.ow
-    print(f"ow={ow} g={job.dim.num_groups}")
+    cap, ow = job.cap, job.ow
+    print(f"cap={cap} ow={ow} g={job.dim.num_groups}")
 
-    rows = jnp.asarray(np.asarray(job.out_a["rows"]))
-    rows_cnt = jnp.asarray(np.asarray(job.out_a["rows_cnt"]))
+    stream = jnp.asarray(np.asarray(job._stream))
+    totals = jnp.asarray(np.asarray(job.out_a["totals"]))
     layout = jnp.asarray(np.asarray(job.out_a["dc_layout"]))
     d_ac = job._d_dev
     d_dc = job._d_dc
-    g = rows.shape[0]
+    g = stream.shape[0]
+
+    rng = np.random.RandomState(0)
+    tot_np = np.asarray(totals)
+    w = rng.rand(g, PK.ROWS)
+    cnt = np.floor(w / w.sum(1, keepdims=True) * tot_np[:, None]).astype(np.int32)
+    rows_cnt = jnp.asarray(np.minimum(cnt, 127))
+    rows_tok = jnp.asarray(
+        rng.randint(0, 1 << 22, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
+    )
+
+    def mk_compact(variant):
+        def make(k):
+            def f(rt, rc):
+                def body(c, _):
+                    s, t = PK.compact_stream(rt ^ c, rc, cap, variant=variant)
+                    return s[0, 0] + t[0].astype(jnp.uint32), ()
+
+                c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
+                return c
+
+            return f
+
+        return make
+
+    slope("compact_stream[rmw]", mk_compact("rmw"), rows_tok, rows_cnt)
 
     def mk_ac(k):
-        def f(r, rc, d):
+        def f(s, t, d):
             def body(c, _):
-                out = PK._pack_ac_rows_impl(
-                    r ^ (c & 1), rc, d, ow, job.wcap
-                )
+                out = PK._pack_ac_impl(s ^ (c & 0xFF), t, d, ow, job.wcap)
                 return out["words"][0] + c, ()
 
             c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
@@ -81,7 +113,40 @@ def main():
 
         return f
 
-    slope("AC pack (rows, full)", mk_ac, rows, rows_cnt, d_ac)
+    slope("AC pack (tdb+cumsum+var+sec)", mk_ac, stream, totals, d_ac)
+
+    data, nbits = PK.token_data_bits(stream, totals, d_ac)
+    ends = jnp.cumsum(nbits, axis=1)
+    pos = (ends - nbits).astype(jnp.int32)
+    data = jnp.asarray(np.asarray(data))
+    nbits = jnp.asarray(np.asarray(nbits))
+    pos = jnp.asarray(np.asarray(pos))
+
+    def mk_bp(k):
+        def f(d, nb, p):
+            def body(c, _):
+                out = PK.bitpack_groups_var(d ^ (c & 1), nb, p, ow)
+                return out[0, 0] + c, ()
+
+            c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
+            return c
+
+        return f
+
+    slope("AC bitpack var", mk_bp, data, nbits, pos)
+
+    def mk_hist(k):
+        def f(s, t):
+            def body(c, _):
+                h = PK.hist_base64(s ^ (c & 0xFF), t)
+                return h[0, 0] + c, ()
+
+            c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
+            return c
+
+        return f
+
+    slope("hist_base64", mk_hist, stream, totals)
 
     def mk_dc(k):
         def f(l, d):
@@ -94,33 +159,7 @@ def main():
 
         return f
 
-    slope("DC pack (layout, full)", mk_dc, layout, d_dc)
-
-    def mk_hist(k):
-        def f(r, rc):
-            def body(c, _):
-                h = PK.hist_rows(r ^ (c & 0xFF), rc)
-                return h[0, 0] + c, ()
-
-            c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
-            return c
-
-        return f
-
-    slope("hist_rows", mk_hist, rows, rows_cnt)
-
-    def mk_dchist(k):
-        def f(l):
-            def body(c, _):
-                h = DK.dc_hist(l ^ (c & 1))
-                return h[0, 0] + c, ()
-
-            c, _ = lax.scan(body, jnp.uint32(0), None, length=k)
-            return c
-
-        return f
-
-    slope("dc_hist", mk_dchist, layout)
+    slope("DC pack (tdb+cumsum+var+sec)", mk_dc, layout, d_dc)
 
 
 if __name__ == "__main__":
