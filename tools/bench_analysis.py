@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Decompose program A's analysis cost (scan-repeat slope, real 8MP input)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def slope(name, make_fn, *inputs):
+    ts = {}
+    for k in (1, 5):
+        fn = jax.jit(make_fn(k))
+        fn(*inputs)
+        best = 1e9
+        for _ in range(3):
+            t = time.perf_counter()
+            np.asarray(fn(*inputs).ravel()[:1])
+            best = min(best, time.perf_counter() - t)
+        ts[k] = best
+    print(f"{name:26s} {(ts[5]-ts[1])/4*1e3:8.2f} ms/app")
+
+
+def main():
+    from jxl_tiny_tpu.common import compute_distance_params
+    from jxl_tiny_tpu.io.color import linear_to_srgb_u8
+    from jxl_tiny_tpu.ops import pipeline_jax as PJ
+    from jxl_tiny_tpu.ops.dct_jax import dct2d
+    import bench
+
+    img = bench._load_image()
+    u8 = linear_to_srgb_u8(img)
+    distp = compute_distance_params(1.0)
+    F = dict(
+        distance=float(distp.distance), inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale), scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+    )
+
+    groups = jax.jit(PJ.extract_groups_device)(jnp.asarray(u8))
+    groups = jnp.asarray(np.asarray(groups).astype(np.float32))
+    g = groups.shape[0]
+    yb = jnp.full((g,), 32, jnp.int32)
+    xb = jnp.full((g,), 32, jnp.int32)
+    print(f"g={g}")
+
+    def rep(op):
+        def make(k):
+            def f(gr):
+                def body(c, _):
+                    out = op(gr + c)
+                    return out.ravel()[0].astype(jnp.float32) + c, ()
+
+                c, _ = lax.scan(body, jnp.float32(0), None, length=k)
+                return c
+
+            return f
+
+        return make
+
+    slope("to_xyb", rep(PJ.to_xyb), groups)
+    slope(
+        "adaptive_quant_field",
+        rep(lambda gr: PJ.adaptive_quant_field(gr, F["distance"], F["inv_scale"])[0]),
+        groups,
+    )
+
+    xyb = jax.jit(PJ.to_xyb)(groups)
+    xyb = jnp.asarray(np.asarray(xyb))
+
+    def dct8_of(x):
+        b = x.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+        return dct2d(b, 8, 8).ravel()[:1]
+
+    slope("dct8 all groups", rep(dct8_of), xyb)
+
+    qf, masking, raw_qf = jax.jit(
+        lambda x: PJ.adaptive_quant_field(x, F["distance"], F["inv_scale"])
+    )(xyb)
+    blocks8 = xyb.reshape(g, 3, 32, 8, 32, 8).transpose(0, 1, 2, 4, 3, 5)
+    coef8 = jax.jit(lambda b: dct2d(b, 8, 8))(blocks8)
+    coef8 = jnp.asarray(np.asarray(coef8))
+    qf = jnp.asarray(np.asarray(qf))
+    masking = jnp.asarray(np.asarray(masking))
+    raw_qf = jnp.asarray(np.asarray(raw_qf))
+    valid = jnp.ones((g, 32, 32), bool)
+    ytox, ytob = jax.jit(PJ.compute_cmap)(coef8, valid)
+    ytox = jnp.asarray(np.asarray(ytox))
+    ytob = jnp.asarray(np.asarray(ytob))
+
+    slope(
+        "compute_cmap",
+        rep(lambda c8: jnp.stack(PJ.compute_cmap(c8, valid)).astype(jnp.float32)),
+        coef8,
+    )
+
+    def strat_of(x):
+        s, isf, cv, chh = PJ.compute_ac_strategy(
+            x, coef8, qf, masking, ytox, ytob, F["distance"], yb, xb
+        )
+        return s.astype(jnp.float32) + cv.ravel()[0] + chh.ravel()[0]
+
+    slope("compute_ac_strategy", rep(strat_of), xyb)
+
+    strategy, is_first, coef_v, coef_h = jax.jit(
+        lambda x: PJ.compute_ac_strategy(
+            x, coef8, qf, masking, ytox, ytob, F["distance"], yb, xb
+        )
+    )(xyb)
+    strategy = jnp.asarray(np.asarray(strategy))
+    is_first = jnp.asarray(np.asarray(is_first))
+    coef_v = jnp.asarray(np.asarray(coef_v))
+    coef_h = jnp.asarray(np.asarray(coef_h))
+
+    def enc_of(x):
+        tf, cf, qdc, _ = PJ.encode_groups(
+            x, coef8, coef_v, coef_h, strategy, is_first, raw_qf, ytox, ytob,
+            F["scale"], F["scale_dc"], F["x_qm_mul"], valid, base_ctx=True,
+        )
+        return tf.ravel()[0].astype(jnp.float32) + cf.ravel()[0]
+
+    slope("encode_groups", rep(enc_of), xyb)
+
+    def layout_of(x):
+        tf, cf, qdc, _ = PJ.encode_groups(
+            x, coef8, coef_v, coef_h, strategy, is_first, raw_qf, ytox, ytob,
+            F["scale"], F["scale_dc"], F["x_qm_mul"], valid, base_ctx=True,
+        )
+        lay, _ = PJ.dc_layout_from_maps(
+            qdc, raw_qf, strategy, is_first, ytox, ytob,
+            ysize=2160, xsize=3840, with_hist=False,
+        )
+        return lay.ravel()[0].astype(jnp.float32) + tf.ravel()[0]
+
+    slope("encode_groups+dc_layout", rep(layout_of), xyb)
+
+
+if __name__ == "__main__":
+    main()
