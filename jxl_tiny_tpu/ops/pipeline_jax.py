@@ -160,18 +160,20 @@ def _shift0(a, d, axis):
 
 
 def to_xyb(groups):
-    """[G, 3, 256, 256] linear sRGB -> XYB (enc_xyb.cc:44-81)."""
-    m = jnp.asarray(C.OPSIN_MATRIX)
-    mixed = (
-        jnp.einsum(
-            "ij,gjhw->gihw", m, groups, precision=jax.lax.Precision.HIGHEST
-        )
-        + C.OPSIN_BIAS
-    )
-    mixed = jnp.maximum(mixed, 0.0)
-    tm = jnp.cbrt(mixed) + C.NEG_BIAS_CBRT
+    """[G, 3, 256, 256] linear sRGB -> XYB (enc_xyb.cc:44-81).
+
+    The 3x3 opsin mix is unrolled to elementwise f32 FMAs (one fused pass on
+    the VPU) rather than an einsum: a K=3 contraction would otherwise run as
+    multi-pass bf16 matmuls on the MXU for no benefit."""
+    m = C.OPSIN_MATRIX
+    r, g_, b = groups[:, 0], groups[:, 1], groups[:, 2]
+    mixed = [
+        m[i, 0] * r + m[i, 1] * g_ + m[i, 2] * b + C.OPSIN_BIAS
+        for i in range(3)
+    ]
+    tm = [jnp.cbrt(jnp.maximum(v, 0.0)) + C.NEG_BIAS_CBRT for v in mixed]
     return jnp.stack(
-        [0.5 * (tm[:, 0] - tm[:, 1]), 0.5 * (tm[:, 0] + tm[:, 1]), tm[:, 2]], axis=1
+        [0.5 * (tm[0] - tm[1]), 0.5 * (tm[0] + tm[1]), tm[2]], axis=1
     )
 
 

@@ -12,9 +12,9 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def slope(name, make_fn, *inputs):
+def slope(name, make_fn, *inputs, ks=(1, 5)):
     ts = {}
-    for k in (1, 5):
+    for k in ks:
         fn = jax.jit(make_fn(k))
         fn(*inputs)
         best = 1e9
@@ -23,7 +23,7 @@ def slope(name, make_fn, *inputs):
             np.asarray(fn(*inputs).ravel()[:1])
             best = min(best, time.perf_counter() - t)
         ts[k] = best
-    print(f"{name:26s} {(ts[5]-ts[1])/4*1e3:8.2f} ms/app")
+    print(f"{name:26s} {(ts[ks[1]]-ts[ks[0]])/(ks[1]-ks[0])*1e3:8.2f} ms/app")
 
 
 def main():
@@ -124,7 +124,11 @@ def main():
         )
         return tf.ravel()[0].astype(jnp.float32) + cf.ravel()[0]
 
-    slope("encode_groups", rep(enc_of), xyb)
+    # encode_groups exceeds the remote-compile request limit even at K=3;
+    # its cost is the residual of A minus the stages above (~13-19 ms with
+    # the DC layout build). Left here for environments with local compile.
+    if os.environ.get("JXL_BENCH_ENCODE_GROUPS"):
+        slope("encode_groups", rep(enc_of), xyb, ks=(1, 3))
 
     def layout_of(x):
         tf, cf, qdc, _ = PJ.encode_groups(
@@ -137,7 +141,8 @@ def main():
         )
         return lay.ravel()[0].astype(jnp.float32) + tf.ravel()[0]
 
-    slope("encode_groups+dc_layout", rep(layout_of), xyb)
+    if os.environ.get("JXL_BENCH_ENCODE_GROUPS"):
+        slope("encode_groups+dc_layout", rep(layout_of), xyb, ks=(1, 3))
 
 
 if __name__ == "__main__":
