@@ -223,8 +223,12 @@ def adaptive_quant_field(xyb, distance, inv_scale):
     gammac = _ratio_of_derivatives(y_pl + F32(0.019), invert=False)
 
     def diffsq(p):
+        # One edge pad, four slices: slices of a single materialized pad
+        # fuse into the consumer, where per-shift concatenates would each
+        # materialize a full [G, 256, 256] copy.
+        pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1)), mode="edge")
         base = 0.25 * (
-            _shift(p, 1, -2) + _shift(p, -1, -2) + _shift(p, -1, -1) + _shift(p, 1, -1)
+            pp[:, 2:, 1:-1] + pp[:, :-2, 1:-1] + pp[:, 1:-1, :-2] + pp[:, 1:-1, 2:]
         )
         d = gammac * (p - base)
         return d * d
@@ -234,9 +238,10 @@ def adaptive_quant_field(xyb, distance, inv_scale):
         diff.reshape(g, 64, 4, 64, 4).sum(axis=(2, 4)) * F32(0.25)
     )
 
+    pe_pad = jnp.pad(pre_erosion, ((0, 0), (1, 1), (1, 1)), mode="edge")
     neigh = jnp.stack(
         [
-            _shift(_shift(pre_erosion, dy, -2), dx, -1)
+            pe_pad[:, 1 + dy : 65 + dy, 1 + dx : 65 + dx]
             for dy in (-1, 0, 1)
             for dx in (-1, 0, 1)
         ]
