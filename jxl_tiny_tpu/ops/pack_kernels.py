@@ -112,28 +112,26 @@ NUM_BASE_CTXS = 64
 def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     out_ref[...] = jnp.zeros_like(out_ref)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+    nb = meta_ref[0, 3, 0]  # non-empty row count
 
-    def body(r, _):
+    def body(i, _):
+        r = meta_ref[0, 2, i]  # non-empty rows, front-sorted
         s = meta_ref[0, 0, r]
         c = meta_ref[0, 1, r]
-
-        @pl.when(c > 0)  # continuation cells have empty rows; skip the RMW
-        def _():
-            a = s & (W - 1)
-            w0 = jnp.minimum((s >> 7) * W, cap - W)
-            w0 = pl.multiple_of(w0, W)
-            row = tok_ref[0, r, :].reshape(1, W)
-            ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
-            rot = pltpu.roll(ext, a, axis=1)
-            contrib = jnp.where(
-                (lanes >= a) & (lanes < a + c), rot, jnp.uint32(0)
-            )
-            cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
-            out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
-
+        a = s & (W - 1)
+        w0 = jnp.minimum((s >> 7) * W, cap - W)
+        w0 = pl.multiple_of(w0, W)
+        row = tok_ref[0, r, :].reshape(1, W)
+        ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
+        rot = pltpu.roll(ext, a, axis=1)
+        contrib = jnp.where(
+            (lanes >= a) & (lanes < a + c), rot, jnp.uint32(0)
+        )
+        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
         return 0
 
-    jax.lax.fori_loop(0, ROWS, body, 0)
+    jax.lax.fori_loop(0, nb, body, 0)
 
 
 def compact_stream(rows_tok, rows_cnt, cap):
@@ -142,16 +140,26 @@ def compact_stream(rows_tok, rows_cnt, cap):
     Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
     at positions [start_r, start_r + cnt_r) of the group's stream; positions
     >= totals[g] are zero. Groups whose totals exceed `cap` are truncated
-    (callers re-run at a larger cap — totals is exact either way)."""
+    (callers re-run at a larger cap — totals is exact either way).
+
+    The scalar loop visits only non-empty rows, through a front-sorted index
+    list (every continuation cell of a 2-block transform contributes an
+    empty row — typically 30-50% of rows on photographic content; OR-placing
+    rows is order-independent, so processing order is free)."""
     g = rows_tok.shape[0]
-    ends = jnp.cumsum(rows_cnt.astype(jnp.int32), axis=1)
-    starts = ends - rows_cnt
-    meta = jnp.stack([starts, rows_cnt.astype(jnp.int32)], axis=1)  # [G,2,ROWS]
+    cnt = rows_cnt.astype(jnp.int32)
+    ends = jnp.cumsum(cnt, axis=1)
+    starts = ends - cnt
+    order = jnp.argsort(cnt == 0, axis=1, stable=True).astype(jnp.int32)
+    nb = jnp.broadcast_to((cnt > 0).sum(axis=1)[:, None], (g, ROWS)).astype(
+        jnp.int32
+    )
+    meta = jnp.stack([starts, cnt, order, nb], axis=1)  # [G,4,ROWS]
     stream = pl.pallas_call(
         functools.partial(_compact_kernel, cap=cap),
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 2, ROWS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, ROWS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, ROWS, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
