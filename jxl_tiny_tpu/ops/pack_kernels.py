@@ -134,7 +134,67 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-def compact_stream(rows_tok, rows_cnt, cap):
+def merge_rows(rows_tok, rows_cnt, levels=3):
+    """Log-merge preconditioner: pairwise-merge adjacent emission rows whose
+    combined token count fits in W, halving (per level) the rows the compact
+    kernel's scalar loop must visit. Vectorized jnp: the variable right-shift
+    of the tail row by the head's count is 7 conditional static shifts.
+
+    Bit-exact by construction — tokens keep their stream positions: a merged
+    head's count becomes c0+c1 and the emptied tail contributes 0 to the
+    cumsum, so every row's start is unchanged. A tail may only merge into a
+    head that holds ALL tokens of its half-block (tracked by `full`),
+    otherwise runs would not be adjacent in the stream."""
+    g, R, _ = rows_tok.shape
+    tok = rows_tok
+    cnt = rows_cnt.astype(jnp.int32)
+    full = jnp.ones((g, R), bool)
+    lanes = jnp.arange(W)
+    for lv in range(levels):
+        half = 1 << lv
+        if R % (2 * half):
+            break
+        nblk = R // (2 * half)
+        t = tok.reshape(g, nblk, 2, half, W)
+        c = cnt.reshape(g, nblk, 2, half)
+        f = full.reshape(g, nblk, 2, half)
+        head, tail = t[:, :, 0, 0], t[:, :, 1, 0]
+        c0, c1 = c[:, :, 0, 0], c[:, :, 1, 0]
+        f0, f1 = f[:, :, 0, 0], f[:, :, 1, 0]
+        do = f0 & (c1 > 0) & (c0 + c1 <= W)
+        s = tail
+        for b in range(7):
+            sh = 1 << b
+            shifted = jnp.concatenate(
+                [jnp.zeros_like(s[..., :sh]), s[..., :-sh]], axis=-1
+            )
+            s = jnp.where((((c0 >> b) & 1) > 0)[..., None], shifted, s)
+        # Lanes beyond a row's count may hold garbage (the compact kernel
+        # masks them; a merge must too).
+        hm = jnp.where(lanes < c0[..., None], head, 0)
+        sm = jnp.where(
+            (lanes >= c0[..., None]) & (lanes < (c0 + c1)[..., None]), s, 0
+        )
+        new_head = jnp.where(do[..., None], hm | sm, head)
+        new_tail = jnp.where(do[..., None], jnp.zeros_like(tail), tail)
+        new_c0 = jnp.where(do, c0 + c1, c0)
+        new_c1 = jnp.where(do, 0, c1)
+        new_f0 = f0 & f1 & (do | (c1 == 0))
+        h_sub = jnp.concatenate([new_head[:, :, None], t[:, :, 0, 1:]], axis=2)
+        t_sub = jnp.concatenate([new_tail[:, :, None], t[:, :, 1, 1:]], axis=2)
+        tok = jnp.stack([h_sub, t_sub], axis=2).reshape(g, R, W)
+        ch = jnp.concatenate([new_c0[:, :, None], c[:, :, 0, 1:]], axis=2)
+        ct = jnp.concatenate([new_c1[:, :, None], c[:, :, 1, 1:]], axis=2)
+        cnt = jnp.stack([ch, ct], axis=2).reshape(g, R)
+        fh = jnp.concatenate([new_f0[:, :, None], f[:, :, 0, 1:]], axis=2)
+        ft = jnp.concatenate(
+            [jnp.zeros_like(new_f0)[:, :, None], f[:, :, 1, 1:]], axis=2
+        )
+        full = jnp.stack([fh, ft], axis=2).reshape(g, R)
+    return tok, cnt
+
+
+def compact_stream(rows_tok, rows_cnt, cap, merge_levels=3):
     """rows_tok: [G, ROWS, 128] u32; rows_cnt: [G, ROWS] i32.
 
     Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
@@ -145,8 +205,12 @@ def compact_stream(rows_tok, rows_cnt, cap):
     The scalar loop visits only non-empty rows, through a front-sorted index
     list (every continuation cell of a 2-block transform contributes an
     empty row — typically 30-50% of rows on photographic content; OR-placing
-    rows is order-independent, so processing order is free)."""
+    rows is order-independent, so processing order is free). A log-merge
+    preconditioner (merge_rows) first fuses runs of adjacent rows into one
+    row each where they fit, further shrinking the visit list ~2-4x."""
     g = rows_tok.shape[0]
+    if merge_levels:
+        rows_tok, rows_cnt = merge_rows(rows_tok, rows_cnt, merge_levels)
     cnt = rows_cnt.astype(jnp.int32)
     ends = jnp.cumsum(cnt, axis=1)
     starts = ends - cnt
