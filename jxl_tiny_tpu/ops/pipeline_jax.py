@@ -72,6 +72,9 @@ def _zigzag_permutations():
 
 _ZZ_P8, _ZZ_P16 = _zigzag_permutations()
 
+# Lower-triangular (inclusive) ones matrix: prefix-sum-as-matmul operand.
+_TRI_INCL_128 = np.tril(np.ones((128, 128), np.float32)).T
+
 
 def _nnz_ctx_steps():
     """COEFF_NNZ_CTX as a monotone step function: lut[x] = sum of deltas at
@@ -654,7 +657,16 @@ def encode_groups(
     else:
         nzero_ctx = nz_bucket * C.NUM_BLOCK_CTXS + block_ctx  # [G,3,32,32]
 
-    cum_nz = jnp.cumsum(jnp.where(in_range[:, None], nonzero, False), axis=-1)
+    # Inclusive prefix count of nonzeros as ONE triangular bf16 matmul on the
+    # MXU (counts <= 128 are exact in the f32 accumulator) instead of
+    # lax.cumsum's 7 log-shift passes over the 212 MB token-lane array.
+    nz_f = jnp.where(in_range[:, None], nonzero, False).astype(jnp.bfloat16)
+    cum_nz = jnp.einsum(
+        "...k,kj->...j",
+        nz_f,
+        jnp.asarray(_TRI_INCL_128).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
     nz_left = nzeros_total[..., None] - cum_nz + jnp.where(
         in_range[:, None], nonzero, False
     )
