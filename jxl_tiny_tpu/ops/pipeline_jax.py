@@ -661,6 +661,26 @@ def encode_groups(
     # MXU (counts <= 128 are exact in the f32 accumulator) instead of
     # lax.cumsum's 7 log-shift passes over the 212 MB token-lane array.
     nz_f = jnp.where(in_range[:, None], nonzero, False).astype(jnp.bfloat16)
+    if base_ctx:
+        # Flagship path: the whole per-coefficient tail below is one fused
+        # Pallas pass (ops/tokenize_kernel) — one read + one write of the
+        # 212 MB lane array instead of ~a dozen XLA passes.
+        from .tokenize_kernel import tokenize_cells
+
+        shp = nzeros_total.shape
+        size_b = jnp.broadcast_to(size[:, None], shp)
+        prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
+        tokens_full, count_full = tokenize_cells(
+            ordered,
+            jnp.broadcast_to(covered[:, None], shp),
+            nzeros_total,
+            block_ctx,
+            nzero_ctx,
+            prev_init,
+            jnp.broadcast_to(first[:, None], shp),
+        )
+        return tokens_full, count_full, quant_dc, nz_map
+
     cum_nz = jnp.einsum(
         "...k,kj->...j",
         nz_f,

@@ -1,0 +1,139 @@
+"""Fused per-coefficient tokenization as one Pallas TPU kernel.
+
+The tail of pipeline_jax.encode_groups (everything after the zig-zag
+reorder: prefix nonzero counts, zero-density contexts, validity, token
+packing) is ~a dozen XLA passes over the 212 MB [G,3,32,32,128] lane
+arrays. All of it is lane-local within a cell's 128-coefficient row, so a
+single Pallas kernel does it in one read + one write:
+
+  - per-row scalars (covered, nzeros, contexts, flags) ride in lane 0 of
+    the input, which tokenization never reads (in_range starts at lane
+    `covered` >= 1); a lane-max broadcast recovers them per row
+  - the inclusive prefix count of nonzeros is one [R,128]x[128,128]
+    triangular matmul on the MXU (counts <= 128 exact)
+  - neighbor lanes (prev-nonzero, the covered=2 slot shift) are cyclic
+    pltpu.roll's with edge masks
+
+Semantics mirror enc_group.cc:448-493 tokenization exactly (through the
+jnp twin in pipeline_jax; tested bit-equal). base-64 contexts only (the
+flagship device path).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pipeline_jax import _NNZ_THRESH, _NNZ_DELTA, _FREQ_TAB
+from .pack_kernels import _interpret
+
+R = 1024  # rows per grid step
+
+_TRI_INCL = np.tril(np.ones((128, 128), np.float32)).T  # [k,j]=1 iff k<=j
+
+
+def pack_row_meta(covered, nzeros_total, block_ctx, nzero_ctx, prev_init, first):
+    """Per-cell scalars -> one i32 word (rides in lane 0 of the row)."""
+    return (
+        ((covered - 1) & 1)
+        | (nzeros_total << 1)
+        | (block_ctx << 8)
+        | (nzero_ctx << 12)
+        | (prev_init << 18)
+        | (first.astype(jnp.int32) << 19)
+    )
+
+
+def _tok_kernel(x_ref, tri_ref, freq_ref, o_ref):
+    x = x_ref[...]  # [R,128] i32
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    lane0 = lane == 0
+    meta = jnp.max(jnp.where(lane0, x, 0), axis=1, keepdims=True)  # [R,1]
+    covered = (meta & 1) + 1
+    nztot = (meta >> 1) & 127
+    block_ctx = (meta >> 8) & 15
+    nzero_ctx = (meta >> 12) & 63
+    prev_init = (meta >> 18) & 1
+    first = (meta >> 19) & 1
+    cov2 = covered == 2
+
+    in_range = (lane >= covered) & (lane < covered * 64)
+    nonzero = (x != 0) & in_range
+    nzv = nonzero.astype(jnp.int32)
+    cum = jax.lax.dot_general(
+        nonzero.astype(jnp.float32),
+        tri_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    nz_left = nztot - cum + nzv
+    prev_nz = jnp.where(lane0, 0, pltpu.roll(nzv, 1, axis=1))
+    prev = jnp.where(lane == covered, prev_init, prev_nz)
+
+    nzl_shift = jnp.where(cov2, (nz_left + 1) >> 1, nz_left)
+    nnz_part = jnp.zeros_like(x)
+    for t, d in zip(_NNZ_THRESH.tolist(), _NNZ_DELTA.tolist()):
+        nnz_part = nnz_part + jnp.where(nzl_shift >= t, d, 0)
+    freq = jnp.where(cov2, freq_ref[1][None, :], freq_ref[0][None, :])
+    q = jnp.minimum(nnz_part + freq, 5)
+    coeff_ctx = 16 + block_ctx * 12 + q * 2 + prev  # base64_zd
+    tok_valid = in_range & (nz_left > 0) & (first > 0)
+    coeff_val = jnp.where(x >= 0, 2 * x, -2 * x - 1)  # pack_signed
+
+    def shsel(a):  # covered=2 reads lane k+1 (source slot shift), fill 0
+        nxt = jnp.where(lane == 127, 0, pltpu.roll(a, 127, axis=1))
+        return jnp.where(cov2, nxt, a)
+
+    ctx_g = shsel(coeff_ctx)
+    val_g = shsel(coeff_val)
+    valid_g = shsel(tok_valid.astype(jnp.int32)) * (~lane0)
+    packed = jnp.where(valid_g > 0, (ctx_g << 16) | val_g, 0)
+    nz_token = (nzero_ctx << 16) | nztot
+    o_ref[...] = jnp.where(lane0, nz_token, packed).astype(jnp.uint32)
+
+
+def tokenize_cells(
+    ordered, covered, nzeros_total, block_ctx, nzero_ctx, prev_init, first
+):
+    """ordered: [..., 128] i32 zig-zag coeffs; the rest: [...] per-cell.
+
+    Returns (tokens_full [..., 128] u32 — lane 0 = nzeros token, lanes >=1
+    = coefficient tokens; count_full [...] i32), bit-equal to the jnp tail
+    of encode_groups."""
+    shp = ordered.shape
+    n = int(np.prod(shp[:-1]))
+    meta = pack_row_meta(
+        covered.astype(jnp.int32),
+        nzeros_total.astype(jnp.int32),
+        block_ctx.astype(jnp.int32),
+        nzero_ctx.astype(jnp.int32),
+        prev_init.astype(jnp.int32),
+        first,
+    )
+    x = jnp.concatenate(
+        [meta[..., None], ordered[..., 1:].astype(jnp.int32)], axis=-1
+    ).reshape(n, 128)
+    pad = (-n) % R
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, 128), jnp.int32)], axis=0)
+    out = pl.pallas_call(
+        _tok_kernel,
+        grid=((n + pad) // R,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda i: (i, 0)),
+            pl.BlockSpec((128, 128), lambda i: (0, 0)),
+            pl.BlockSpec((2, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n + pad, 128), jnp.uint32),
+        interpret=_interpret(),
+    )(x, jnp.asarray(_TRI_INCL), jnp.asarray(_FREQ_TAB))
+    tokens = out[:n].reshape(shp)
+    slot = jnp.arange(128)
+    last_valid = jnp.max(
+        jnp.where((tokens != 0) & (slot >= 1), slot, 0), axis=-1
+    )
+    count = jnp.where(first, 1 + last_valid, 0)
+    return tokens, count
