@@ -42,7 +42,7 @@ _STRAT0 = _CMAP0 + _CMAPN
 _QF0 = _STRAT0 + PD * PD
 _EPF0 = _QF0 + PD * PD
 LAYOUT = _EPF0 + PD * PD
-DC_CAP = -(-LAYOUT // 2048) * 2048  # bitpack chunk multiple
+DC_CAP = -(-LAYOUT // 4096) * 4096  # bitpack chunk multiple (fan*ch = 8*512)
 
 
 def _grad_step_tables():
@@ -269,7 +269,10 @@ def _pack_dc_impl(layout, d_table, ow, wcap):
     # Variable-window oct packer; its per-chunk bounds skip the sparse
     # layout's zero-width runs and each entry writes only the output words
     # it overlaps.
-    packed = bitpack_groups_var(data, nbits, pos, ow)
+    # fan=8, ch=512, dense bounds: at DC-layout scale the 16-token merge
+    # tree's select chains and the sparse index list cost more than they
+    # save (measured; the lazy zero-init is kept — pure win).
+    packed = bitpack_groups_var(data, nbits, pos, ow, ch=512, fan=8, sparse=False)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 

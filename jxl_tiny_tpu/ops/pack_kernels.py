@@ -441,29 +441,69 @@ def _merge_quads(a, n_a, b, n_b):
     return out, n_a + n_b
 
 
-def _oct_entries(data, nbits):
-    """[G, E*8] tokens -> interleaved <=224-bit oct entries.
+def _merge_octs(a, n_a, b, n_b):
+    """Concatenate two <=224-bit 8-word entries (lists of 8 u32 arrays) into
+    a <=448-bit 16-word entry: b's bits start at offset n_a of a."""
+    s = (n_a & 31).astype(jnp.uint32)
+    c = n_a >> 5  # word carry: 0..7 (n_a <= 224)
+    ish = (jnp.uint32(32) - s) & 31
+    z = s == 0
+    # b shifted left by s bits within its own 9-word frame.
+    v = [b[0] << s]
+    for k in range(1, 8):
+        v.append(jnp.where(z, b[k], (b[k - 1] >> ish) | (b[k] << s)))
+    v.append(jnp.where(z, jnp.uint32(0), b[7] >> ish))
+    out = []
+    for j in range(16):
+        w = a[j] if j < 8 else jnp.zeros_like(a[0])
+        for ci in range(8):
+            k = j - ci
+            if 0 <= k <= 8:
+                w = w | jnp.where(c == ci, v[k], 0)
+        out.append(w)
+    return out, n_a + n_b
 
-    Returns (qall [G, E, 8] u32 entry words, n8 [G, E] i32 total bits)."""
+
+def _oct_words(data, nbits):
+    """[G, E*8] tokens -> (list of 8 interleaved word arrays, n8 [G, E])."""
     lo, hi, n2 = _pair_entries(data, nbits)
     w0, w1, w2, w3, n4 = _merge_pairs(
         lo[:, 0::2], hi[:, 0::2], n2[:, 0::2],
         lo[:, 1::2], hi[:, 1::2], n2[:, 1::2],
     )
     quads = [w0, w1, w2, w3]
-    oct_, n8 = _merge_quads(
+    return _merge_quads(
         [q[:, 0::2] for q in quads], n4[:, 0::2],
         [q[:, 1::2] for q in quads], n4[:, 1::2],
     )
+
+
+def _oct_entries(data, nbits):
+    """[G, E*8] tokens -> interleaved <=224-bit oct entries.
+
+    Returns (qall [G, E, 8] u32 entry words, n8 [G, E] i32 total bits)."""
+    oct_, n8 = _oct_words(data, nbits)
     return jnp.stack(oct_, axis=-1), n8
 
 
-def _emit_entry(qall_ref, base, p, n8, out_ref, ow):
-    """Scalar helper: OR one <=224-bit entry (8 words at qall_ref[base..])
-    into out_ref at bit position p, touching only the ceil((sh+n8)/32)
-    words the entry overlaps (avg ~2 for typical token widths, vs 9 for a
+def _hex_entries(data, nbits):
+    """[G, E*16] tokens -> interleaved <=448-bit 16-token entries.
+
+    Returns (qall [G, E, 16] u32 entry words, n16 [G, E] i32 total bits)."""
+    oct_, n8 = _oct_words(data, nbits)
+    hex_, n16 = _merge_octs(
+        [o[:, 0::2] for o in oct_], n8[:, 0::2],
+        [o[:, 1::2] for o in oct_], n8[:, 1::2],
+    )
+    return jnp.stack(hex_, axis=-1), n16
+
+
+def _emit_entry(qall_ref, base, p, n8, out_ref, ow, fan=8):
+    """Scalar helper: OR one entry (`fan` words at qall_ref[base..]) into
+    out_ref at bit position p, touching only the ceil((sh+n8)/32) words the
+    entry overlaps (avg ~2-4 for typical token widths, vs fan+1 for a
     fixed window)."""
-    w = jnp.minimum(p >> 5, ow - 9)
+    w = jnp.minimum(p >> 5, ow - (fan + 1))
     sh = (p & 31).astype(jnp.uint32)
     ish = (jnp.uint32(32) - sh) & 31
     z = sh == 0
@@ -478,50 +518,105 @@ def _emit_entry(qall_ref, base, p, n8, out_ref, ow):
     jax.lax.fori_loop(0, nw, wbody, jnp.uint32(0))
 
 
-def _bitpack_var_kernel(bound_ref, qall_ref, pos_ref, n8_ref, out_ref, *, ow, ch):
+def _bitpack_var_kernel(
+    zw_ref, bound_ref, order_ref, qall_ref, pos_ref, n8_ref, out_ref, *,
+    ow, ch, fan
+):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
+        # Zero only the words this section can touch (its bit length is
+        # known up front) — sections average ~1/10 of the ow capacity.
+        # 8 stores per iteration amortize the scalar-loop overhead; a
+        # scalar tail covers the remainder.
+        zw = zw_ref[0, 0, 0]
+        nb8 = zw >> 3
+
         def zbody(i, _):
+            for j in range(8):
+                out_ref[0, 0, i * 8 + j] = jnp.uint32(0)
+            return 0
+
+        jax.lax.fori_loop(0, nb8, zbody, 0)
+
+        def ztail(i, _):
             out_ref[0, 0, i] = jnp.uint32(0)
             return 0
 
-        jax.lax.fori_loop(0, ow, zbody, 0)
+        jax.lax.fori_loop(nb8 * 8, zw, ztail, 0)
 
     n = bound_ref[0, 0, c]
 
-    def body(t, _):
+    def body(i, _):
+        t = order_ref[0, 0, i]  # nonzero entries, front-sorted per chunk
         _emit_entry(
-            qall_ref, t * 8, pos_ref[0, 0, t], n8_ref[0, 0, t], out_ref, ow
+            qall_ref, t * fan, pos_ref[0, 0, t], n8_ref[0, 0, t], out_ref,
+            ow, fan,
         )
         return 0
 
     jax.lax.fori_loop(0, n, body, 0)
 
 
-def bitpack_groups_var(data, nbits, pos, ow, ch=512):
-    """Variable-window oct packer: 8 adjacent tokens fuse into a <=224-bit
-    entry (vectorized pair->quad->oct merges); the scalar loop then writes
-    only the words each entry actually overlaps.
+def _pick_chunk(nent, fan, budget_words=16384):
+    """Largest 128-multiple divisor of `nent` whose qall SMEM block fits
+    the budget — fewer chunks means fewer output-block HBM<->SMEM round
+    trips (measured dominant: an empty 97-chunk DC pack cost 15 ms of pure
+    block traffic). Lane-dim blocks must be 128-multiples (Mosaic tiling)
+    unless they span the whole array (nent <= budget: one chunk)."""
+    top = budget_words // fan
+    if nent <= top:
+        return nent
+    for ch in range(top - top % 128, 0, -128):
+        if nent % ch == 0:
+            return ch
+    raise ValueError(f"no 128-multiple chunk divides {nent}")
+
+
+def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=16, sparse=True):
+    """Variable-window entry packer: `fan` (8 or 16) adjacent tokens fuse
+    into one <=fan*28-bit entry (vectorized pair->quad->oct->hex merges);
+    the scalar loop then writes only the words each entry actually
+    overlaps. The loop-iteration floor (~30 ns) dominates per-entry cost,
+    so wider entries nearly halve kernel time per doubling.
 
     data/nbits/pos: [G, cap] per-token bit patterns, widths (<=28), and
-    absolute bit positions (width-0 entries are no-ops); cap % (8*ch) == 0.
-    Returns packed words [G, ow] u32."""
+    absolute bit positions (width-0 entries are no-ops); cap % (fan*ch)
+    == 0. Returns packed words [G, ow] u32.
+
+    The scalar loop visits only nonzero-width entries, through per-chunk
+    front-sorted index lists — sparse layouts (the DC sections' structural
+    PAD runs, partial-image edges) skip their dead regions entirely."""
     g, cap = data.shape
-    assert cap % (8 * ch) == 0
-    qall, n8 = _oct_entries(data, nbits)
-    pos8 = pos[:, 0::8]
-    nch = (cap // 8) // ch
-    slot = jnp.arange(ch)[None, None, :]
-    nz = (n8 > 0).reshape(g, nch, ch)
-    bounds = (nz * (slot + 1)).max(axis=2).astype(jnp.int32)
+    assert cap % fan == 0
+    if ch is None:
+        ch = _pick_chunk(cap // fan, fan)
+    assert cap % (fan * ch) == 0
+    qall, nent = (_hex_entries if fan == 16 else _oct_entries)(data, nbits)
+    posf = pos[:, 0::fan]
+    nch = (cap // fan) // ch
+    nz = (nent > 0).reshape(g, nch, ch)
+    slot = jnp.arange(ch, dtype=jnp.int32)[None, None, :]
+    if sparse:
+        # Front-sorted nonzero-entry index list: sparse layouts skip their
+        # dead regions entirely.
+        order = jnp.argsort(~nz, axis=2, stable=True).astype(jnp.int32)
+        cnt = nz.sum(axis=2).astype(jnp.int32)
+    else:
+        # Dense streams: iterate [0, last-nonzero] directly.
+        order = jnp.broadcast_to(slot, (g, nch, ch))
+        cnt = (nz * (slot + 1)).max(axis=2).astype(jnp.int32)
+    bits = (pos[:, -1] + nbits[:, -1]).astype(jnp.int32)
+    zw = jnp.minimum(((bits + 31) >> 5) + 1, ow)
     out = pl.pallas_call(
-        functools.partial(_bitpack_var_kernel, ow=ow, ch=ch),
+        functools.partial(_bitpack_var_kernel, ow=ow, ch=ch, fan=fan),
         grid=(g, nch),
         in_specs=[
+            pl.BlockSpec((1, 1, 1), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, ch * 8), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, ch * fan), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
         ],
@@ -529,10 +624,12 @@ def bitpack_groups_var(data, nbits, pos, ow, ch=512):
         out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
         interpret=_interpret(),
     )(
-        bounds[:, None, :],
+        zw[:, None, None],
+        cnt[:, None, :],
+        order.reshape(g, 1, -1),
         qall.reshape(g, 1, -1),
-        pos8[:, None, :].astype(jnp.int32),
-        n8[:, None, :].astype(jnp.int32),
+        posf[:, None, :].astype(jnp.int32),
+        nent[:, None, :].astype(jnp.int32),
     )
     return out[:, 0]
 
