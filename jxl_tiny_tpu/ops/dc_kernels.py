@@ -223,6 +223,10 @@ def dc_hist(layout):
     stay zero; raw/pad entries excluded)."""
     from .pack_kernels import _uint_token_extra
 
+    # Histograms are shape-invariant; [Gd, ~400k] tiles poorly (few used
+    # sublanes, huge lane dim) and ran 10x slower per token than the AC
+    # stream's — reshape to a well-tiled 2D form first.
+    layout = layout.reshape(-1, 4096)
     tag = (layout >> 16).astype(jnp.int32)
     is_tok = tag < 45
     tok, _, _ = _uint_token_extra(layout & 0xFFFF)
@@ -269,10 +273,7 @@ def _pack_dc_impl(layout, d_table, ow, wcap):
     # Variable-window oct packer; its per-chunk bounds skip the sparse
     # layout's zero-width runs and each entry writes only the output words
     # it overlaps.
-    # fan=8, ch=512, dense bounds: at DC-layout scale the 16-token merge
-    # tree's select chains and the sparse index list cost more than they
-    # save (measured; the lazy zero-init is kept — pure win).
-    packed = bitpack_groups_var(data, nbits, pos, ow, ch=512, fan=8, sparse=False)
+    packed = bitpack_groups_var(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 

@@ -593,7 +593,15 @@ def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=16, sparse=True):
     if ch is None:
         ch = _pick_chunk(cap // fan, fan)
     assert cap % (fan * ch) == 0
-    qall, nent = (_hex_entries if fan == 16 else _oct_entries)(data, nbits)
+    # Build entries on a well-tiled 2D view (entries never straddle the
+    # fan*ch chunk boundary, so re-rowing per chunk is bit-exact); long
+    # [G, ~400k] rows waste most sublanes and slow every strided slice.
+    nch_rows = cap // (fan * ch)
+    d2 = data.reshape(g * nch_rows, fan * ch)
+    n2 = nbits.reshape(g * nch_rows, fan * ch)
+    qall, nent = (_hex_entries if fan == 16 else _oct_entries)(d2, n2)
+    qall = qall.reshape(g, cap // fan, fan)
+    nent = nent.reshape(g, cap // fan)
     posf = pos[:, 0::fan]
     nch = (cap // fan) // ch
     nz = (nent > 0).reshape(g, nch, ch)
