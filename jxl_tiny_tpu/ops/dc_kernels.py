@@ -266,13 +266,23 @@ def dc_token_data_bits(layout, d_table):
 def _pack_dc_impl(layout, d_table, ow, wcap):
     from .pack_kernels import bitpack_groups_var, compact_sections
 
-    data, nbits = dc_token_data_bits(layout, d_table)
-    ends = jnp.cumsum(nbits, axis=1)
+    g, cap = layout.shape
+    # Token bit patterns on a well-tiled 2D view, and a two-level cumsum
+    # (intra-row + row offsets) — both shape-exact; a direct op on the
+    # [Gd, ~400k] layout wastes most sublanes (see dc_hist). Per-group
+    # tables (batched multi-image encodes) key the lookup by the group
+    # axis, so only the shared-table case may re-row.
+    lay2 = layout if d_table.ndim == 3 else layout.reshape(-1, 4096)
+    data, nbits = dc_token_data_bits(lay2, d_table)
+    data = data.reshape(g, cap)
+    nbits3 = nbits.reshape(g, cap // 4096, 4096)
+    intra = jnp.cumsum(nbits3, axis=2)
+    rowtot = intra[:, :, -1]
+    offs_r = jnp.cumsum(rowtot, axis=1) - rowtot
+    ends = (intra + offs_r[:, :, None]).reshape(g, cap)
+    nbits = nbits.reshape(g, cap)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    # Variable-window oct packer; its per-chunk bounds skip the sparse
-    # layout's zero-width runs and each entry writes only the output words
-    # it overlaps.
     packed = bitpack_groups_var(data, nbits, pos, ow)
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)

@@ -134,67 +134,65 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-def merge_rows(rows_tok, rows_cnt, levels=3):
+def merge_rows(rows_tok, rows_cnt, levels=4):
     """Log-merge preconditioner: pairwise-merge adjacent emission rows whose
     combined token count fits in W, halving (per level) the rows the compact
     kernel's scalar loop must visit. Vectorized jnp: the variable right-shift
     of the tail row by the head's count is 7 conditional static shifts.
 
-    Bit-exact by construction — tokens keep their stream positions: a merged
-    head's count becomes c0+c1 and the emptied tail contributes 0 to the
-    cumsum, so every row's start is unchanged. A tail may only merge into a
-    head that holds ALL tokens of its half-block (tracked by `full`),
-    otherwise runs would not be adjacent in the stream."""
+    Bit-exact by construction — tokens keep their stream positions, carried
+    as explicit per-row starts. A tail may only merge into a head that
+    holds ALL tokens of its half-block (tracked by `full`), otherwise runs
+    would not be adjacent in the stream. Heads live in a dense, halving
+    array per level and unmerged tails are collected aside (row order is
+    free for the OR-placing kernel), so each level touches half the data
+    of the one before instead of rebuilding the full array.
+
+    Returns (tok [G, R, W], starts [G, R], cnt [G, R], totals [G])."""
     g, R, _ = rows_tok.shape
-    tok = rows_tok
     cnt = rows_cnt.astype(jnp.int32)
-    full = jnp.ones((g, R), bool)
+    ends = jnp.cumsum(cnt, axis=1)
+    totals = ends[:, -1]
+    starts = ends - cnt
     lanes = jnp.arange(W)
-    for lv in range(levels):
-        half = 1 << lv
-        if R % (2 * half):
+    H, S, Cn = rows_tok, starts, cnt
+    full = jnp.ones((g, R), bool)
+    tails = []
+    for _ in range(levels):
+        if H.shape[1] % 2:
             break
-        nblk = R // (2 * half)
-        t = tok.reshape(g, nblk, 2, half, W)
-        c = cnt.reshape(g, nblk, 2, half)
-        f = full.reshape(g, nblk, 2, half)
-        head, tail = t[:, :, 0, 0], t[:, :, 1, 0]
-        c0, c1 = c[:, :, 0, 0], c[:, :, 1, 0]
-        f0, f1 = f[:, :, 0, 0], f[:, :, 1, 0]
+        head, tail = H[:, ::2], H[:, 1::2]
+        c0, c1 = Cn[:, ::2], Cn[:, 1::2]
+        s1 = S[:, 1::2]
+        f0, f1 = full[:, ::2], full[:, 1::2]
         do = f0 & (c1 > 0) & (c0 + c1 <= W)
-        s = tail
+        sft = tail
         for b in range(7):
             sh = 1 << b
             shifted = jnp.concatenate(
-                [jnp.zeros_like(s[..., :sh]), s[..., :-sh]], axis=-1
+                [jnp.zeros_like(sft[..., :sh]), sft[..., :-sh]], axis=-1
             )
-            s = jnp.where((((c0 >> b) & 1) > 0)[..., None], shifted, s)
+            sft = jnp.where((((c0 >> b) & 1) > 0)[..., None], shifted, sft)
         # Lanes beyond a row's count may hold garbage (the compact kernel
         # masks them; a merge must too).
         hm = jnp.where(lanes < c0[..., None], head, 0)
         sm = jnp.where(
-            (lanes >= c0[..., None]) & (lanes < (c0 + c1)[..., None]), s, 0
+            (lanes >= c0[..., None]) & (lanes < (c0 + c1)[..., None]), sft, 0
         )
-        new_head = jnp.where(do[..., None], hm | sm, head)
-        new_tail = jnp.where(do[..., None], jnp.zeros_like(tail), tail)
-        new_c0 = jnp.where(do, c0 + c1, c0)
-        new_c1 = jnp.where(do, 0, c1)
-        new_f0 = f0 & f1 & (do | (c1 == 0))
-        h_sub = jnp.concatenate([new_head[:, :, None], t[:, :, 0, 1:]], axis=2)
-        t_sub = jnp.concatenate([new_tail[:, :, None], t[:, :, 1, 1:]], axis=2)
-        tok = jnp.stack([h_sub, t_sub], axis=2).reshape(g, R, W)
-        ch = jnp.concatenate([new_c0[:, :, None], c[:, :, 0, 1:]], axis=2)
-        ct = jnp.concatenate([new_c1[:, :, None], c[:, :, 1, 1:]], axis=2)
-        cnt = jnp.stack([ch, ct], axis=2).reshape(g, R)
-        fh = jnp.concatenate([new_f0[:, :, None], f[:, :, 0, 1:]], axis=2)
-        ft = jnp.concatenate(
-            [jnp.zeros_like(new_f0)[:, :, None], f[:, :, 1, 1:]], axis=2
+        H = jnp.where(do[..., None], hm | sm, head)
+        tails.append(
+            (jnp.where(do[..., None], 0, tail), s1, jnp.where(do, 0, c1))
         )
-        full = jnp.stack([fh, ft], axis=2).reshape(g, R)
-    return tok, cnt
+        Cn = jnp.where(do, c0 + c1, c0)
+        S = S[:, ::2]
+        full = f0 & f1 & (do | (c1 == 0))
+    tok = jnp.concatenate([H] + [t[0] for t in reversed(tails)], axis=1)
+    st = jnp.concatenate([S] + [t[1] for t in reversed(tails)], axis=1)
+    ct = jnp.concatenate([Cn] + [t[2] for t in reversed(tails)], axis=1)
+    return tok, st, ct, totals
 
 
-def compact_stream(rows_tok, rows_cnt, cap, merge_levels=3):
+def compact_stream(rows_tok, rows_cnt, cap, merge_levels=4):
     """rows_tok: [G, ROWS, 128] u32; rows_cnt: [G, ROWS] i32.
 
     Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
@@ -210,21 +208,26 @@ def compact_stream(rows_tok, rows_cnt, cap, merge_levels=3):
     row each where they fit, further shrinking the visit list ~2-4x."""
     g = rows_tok.shape[0]
     if merge_levels:
-        rows_tok, rows_cnt = merge_rows(rows_tok, rows_cnt, merge_levels)
-    cnt = rows_cnt.astype(jnp.int32)
-    ends = jnp.cumsum(cnt, axis=1)
-    starts = ends - cnt
+        rows_tok, starts, cnt, totals = merge_rows(
+            rows_tok, rows_cnt, merge_levels
+        )
+    else:
+        cnt = rows_cnt.astype(jnp.int32)
+        ends = jnp.cumsum(cnt, axis=1)
+        starts = ends - cnt
+        totals = ends[:, -1]
+    nrows = rows_tok.shape[1]
     order = jnp.argsort(cnt == 0, axis=1, stable=True).astype(jnp.int32)
-    nb = jnp.broadcast_to((cnt > 0).sum(axis=1)[:, None], (g, ROWS)).astype(
+    nb = jnp.broadcast_to((cnt > 0).sum(axis=1)[:, None], (g, nrows)).astype(
         jnp.int32
     )
-    meta = jnp.stack([starts, cnt, order, nb], axis=1)  # [G,4,ROWS]
+    meta = jnp.stack([starts, cnt, order, nb], axis=1)  # [G,4,nrows]
     stream = pl.pallas_call(
         functools.partial(_compact_kernel, cap=cap),
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 4, ROWS), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ROWS, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, nrows), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nrows, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
@@ -232,7 +235,7 @@ def compact_stream(rows_tok, rows_cnt, cap, merge_levels=3):
         out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
         interpret=_interpret(),
     )(meta, rows_tok)
-    return stream[:, 0], ends[:, -1]
+    return stream[:, 0], totals
 
 
 # ---------------------------------------------------------------------------

@@ -50,21 +50,26 @@ def test_compact_stream():
 
 def test_merge_rows_preserves_stream():
     """The log-merge preconditioner must keep every token at its stream
-    position (totals and concatenation identical) while shrinking the
-    non-empty row count."""
+    position (explicit starts; totals identical) while shrinking the
+    non-empty row count. Rows may carry garbage beyond their count."""
     rng = np.random.RandomState(7)
     g = 2
     cnt = rng.poisson(8.0, size=(g, PK.ROWS)).clip(0, 127).astype(np.int32)
     cnt[rng.rand(g, PK.ROWS) < 0.4] = 0
     tok = rng.randint(1, 1 << 27, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
-    tok = np.where(np.arange(PK.W)[None, None, :] < cnt[:, :, None], tok, 0)
-    mtok, mcnt = PK.merge_rows(jnp.asarray(tok), jnp.asarray(cnt))
-    mtok, mcnt = np.asarray(mtok), np.asarray(mcnt)
+    mtok, mst, mcnt, mtot = PK.merge_rows(jnp.asarray(tok), jnp.asarray(cnt))
+    mtok, mst, mcnt = np.asarray(mtok), np.asarray(mst), np.asarray(mcnt)
+    assert np.array_equal(np.asarray(mtot), cnt.sum(axis=1))
     assert np.array_equal(mcnt.sum(axis=1), cnt.sum(axis=1))
     assert (mcnt > 0).sum() < 0.5 * (cnt > 0).sum()
     for k in range(g):
-        ref = np.concatenate([tok[k, r, : cnt[k, r]] for r in range(PK.ROWS)])
-        got = np.concatenate([mtok[k, r, : mcnt[k, r]] for r in range(PK.ROWS)])
+        ref = np.concatenate(
+            [tok[k, r, : cnt[k, r]] for r in range(PK.ROWS)]
+        )
+        got = np.zeros_like(ref)
+        for r in range(mtok.shape[1]):
+            c = mcnt[k, r]
+            got[mst[k, r] : mst[k, r] + c] = mtok[k, r, :c]
         assert np.array_equal(got, ref)
 
 
