@@ -533,6 +533,84 @@ def encode_groups(
     scale = F32(scale)
     first = is_first & valid
 
+    if base_ctx:
+        # Flagship path: the quantize front-end is one fused Pallas pass
+        # (ops/quantize_kernel) and the per-coefficient tokenization tail
+        # another (ops/tokenize_kernel); only the cheap neighbor-dependent
+        # context math on [G,3,32,32] maps stays in jnp between them.
+        from .pack_kernels import base64_nz
+        from .quantize_kernel import quantize_cells
+        from .tokenize_kernel import tokenize_cells
+
+        fac_x = (
+            jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2)
+            * C.INV_COLOR_FACTOR
+        )
+        fac_b = 1.0 + jnp.repeat(
+            jnp.repeat(ytob.astype(F32), 8, 1), 8, 2
+        ) * C.INV_COLOR_FACTOR
+        ordered, nzeros_total, qdcp = quantize_cells(
+            coef8, coef_v, coef_h, strategy, raw_qf, fac_x, fac_b,
+            scale, scale_dc, x_qm_mul,
+        )
+        quant_dc = jnp.stack(
+            [
+                _scatter_covered(
+                    qdcp[:, c].transpose(0, 2, 3, 1), strategy, is_first
+                )
+                for c in range(3)
+            ],
+            axis=1,
+        )  # [G,3,32,32]
+        covered = jnp.where(strategy == C.DCT8, 1, 2)
+        shifted_nz = -(-nzeros_total // jnp.maximum(covered[:, None], 1))
+        nz_map = jnp.stack(
+            [
+                _scatter_covered(
+                    jnp.stack([shifted_nz[:, c]] * 2, -1), strategy, is_first
+                )
+                for c in range(3)
+            ],
+            axis=1,
+        )  # [G,3,32,32]
+        top = _shift0(nz_map, -1, -2)
+        left = _shift0(nz_map, -1, -1)
+        by_i = jnp.arange(32)[:, None]
+        bx_i = jnp.arange(32)[None, :]
+        pred = jnp.where(
+            (by_i == 0) & (bx_i == 0),
+            32,
+            jnp.where(
+                by_i == 0,
+                left,
+                jnp.where(bx_i == 0, top, (top + left + 1) // 2),
+            ),
+        )
+        bct = _BLOCK_CTX_TAB
+        block_ctx = _sel_by_strategy(
+            strategy,
+            jnp.asarray(bct[C.DCT8])[None, :, None, None, None],
+            jnp.asarray(bct[C.DCT16X8])[None, :, None, None, None],
+            jnp.asarray(bct[C.DCT8X16])[None, :, None, None, None],
+        )[..., 0]  # [G,3,32,32]
+        nz_bucket = jnp.where(
+            pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2)
+        )
+        nzero_ctx = base64_nz(nz_bucket, block_ctx)
+        shp = nzeros_total.shape
+        size_b = jnp.broadcast_to((covered * 64)[:, None], shp)
+        prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
+        tokens_full, count_full = tokenize_cells(
+            ordered,
+            jnp.broadcast_to(covered[:, None], shp),
+            nzeros_total,
+            block_ctx,
+            nzero_ctx,
+            prev_init,
+            jnp.broadcast_to(first[:, None], shp),
+        )
+        return tokens_full, count_full, quant_dc, nz_map
+
     coef8p = jnp.concatenate(
         [coef8.reshape(g, 3, 32, 32, 64), jnp.zeros((g, 3, 32, 32, 64), F32)], -1
     )
@@ -661,26 +739,6 @@ def encode_groups(
     # MXU (counts <= 128 are exact in the f32 accumulator) instead of
     # lax.cumsum's 7 log-shift passes over the 212 MB token-lane array.
     nz_f = jnp.where(in_range[:, None], nonzero, False).astype(jnp.bfloat16)
-    if base_ctx:
-        # Flagship path: the whole per-coefficient tail below is one fused
-        # Pallas pass (ops/tokenize_kernel) — one read + one write of the
-        # 212 MB lane array instead of ~a dozen XLA passes.
-        from .tokenize_kernel import tokenize_cells
-
-        shp = nzeros_total.shape
-        size_b = jnp.broadcast_to(size[:, None], shp)
-        prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
-        tokens_full, count_full = tokenize_cells(
-            ordered,
-            jnp.broadcast_to(covered[:, None], shp),
-            nzeros_total,
-            block_ctx,
-            nzero_ctx,
-            prev_init,
-            jnp.broadcast_to(first[:, None], shp),
-        )
-        return tokens_full, count_full, quant_dc, nz_map
-
     cum_nz = jnp.einsum(
         "...k,kj->...j",
         nz_f,
