@@ -16,8 +16,10 @@ def dct2d(pixels, r, c):
     (see ref/dct_np.py)."""
     dr = jnp.asarray(dct_matrix(r))
     dc = jnp.asarray(dct_matrix(c))
-    # HIGHEST precision keeps the MXU passes at f32 accuracy: quantization
-    # decisions feed off these values, bf16 would flip rounding outcomes.
+    # HIGHEST keeps the MXU passes f32-faithful: quantization decisions
+    # feed off these values. Measured: lowering to HIGH (bf16x3) saves
+    # nothing — these small-contraction matmuls are memory-bound, so the
+    # extra passes are free — while costing cross-backend bit-identity.
     coef = jnp.einsum(
         "ky,...yx,lx->...kl", dr, pixels, dc, precision=jax.lax.Precision.HIGHEST
     )

@@ -296,8 +296,9 @@ def table_lookup_packed(base, tok, d_table):
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
     b = (tok[..., None] == ar).astype(jnp.float32)
-    # HIGHEST: table entries need >8 mantissa bits; default TPU precision
-    # would truncate them to bf16.
+    # HIGHEST: entries reach 2^21, whose low split half exceeds bf16's 8
+    # mantissa bits — bf16x3 is NOT exact here (measured: malformed
+    # streams), unlike the one-hot zig-zag case where values < 2^16.
     ad = jnp.einsum(
         "gtk,gjk->gtj" if per_g else "gtk,jk->gtj", b, t8,
         preferred_element_type=jnp.float32,

@@ -11,7 +11,7 @@ values:
   - grid (G, 4): blocks of [8, 32] cells; vertical(16x8) / horizontal
     (8x16) coefficient rows map to halved blocks broadcast back up
   - tables ride as [3,3,128] inputs selected per cell by strategy
-  - the zig-zag permutation is two HIGHEST-precision one-hot matmuls on
+  - the zig-zag permutation is two one-hot matmuls (bf16x3-exact) on
     the MXU (exact for integer quantized values), selected per cell
   - per-first-cell DC pairs come out as [G,3,2,32,32]; the cheap
     neighbor scatter stays in jnp on [G,3,32,32] maps
@@ -114,6 +114,9 @@ def _quant_kernel(
     in_range = (lanes >= covered) & (lanes < covered * 64)
     for ci, q in ((0, qx), (1, qy), (2, qb)):
         qf2 = q.astype(jnp.float32).reshape(256, 128)
+        # HIGH (bf16x3) is EXACT for a one-hot operand: each output picks
+        # one integer value a = a_hi + a_lo, both terms multiplied by an
+        # exact 0/1 and summed in the f32 accumulator.
         o8 = jax.lax.dot_general(
             qf2, p8_ref[...], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
