@@ -46,11 +46,14 @@ def pack_row_meta(covered, nzeros_total, block_ctx, nzero_ctx, prev_init, first)
     )
 
 
-def _tok_kernel(x_ref, tri_ref, freq_ref, o_ref):
-    x = x_ref[...]  # [R,128] i32
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
+    # Rows processed as [8,128,128]: the block's 1024 per-row meta words
+    # arrive as a separate [8,128] input (no 212 MB lane-0 embed pass),
+    # broadcast over lanes via a minor-dim insert.
+    x = x_ref[...].reshape(8, 128, 128)
+    meta = meta_ref[...][:, :, None]  # [8,128,1] i32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
     lane0 = lane == 0
-    meta = jnp.max(jnp.where(lane0, x, 0), axis=1, keepdims=True)  # [R,1]
     covered = (meta & 1) + 1
     nztot = (meta >> 1) & 127
     block_ctx = (meta >> 8) & 15
@@ -63,27 +66,27 @@ def _tok_kernel(x_ref, tri_ref, freq_ref, o_ref):
     nonzero = (x != 0) & in_range
     nzv = nonzero.astype(jnp.int32)
     cum = jax.lax.dot_general(
-        nonzero.astype(jnp.float32),
+        nonzero.astype(jnp.float32).reshape(1024, 128),
         tri_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    ).astype(jnp.int32).reshape(8, 128, 128)
     nz_left = nztot - cum + nzv
-    prev_nz = jnp.where(lane0, 0, pltpu.roll(nzv, 1, axis=1))
+    prev_nz = jnp.where(lane0, 0, pltpu.roll(nzv, 1, axis=2))
     prev = jnp.where(lane == covered, prev_init, prev_nz)
 
     nzl_shift = jnp.where(cov2, (nz_left + 1) >> 1, nz_left)
     nnz_part = jnp.zeros_like(x)
     for t, d in zip(_NNZ_THRESH.tolist(), _NNZ_DELTA.tolist()):
         nnz_part = nnz_part + jnp.where(nzl_shift >= t, d, 0)
-    freq = jnp.where(cov2, freq_ref[1][None, :], freq_ref[0][None, :])
+    freq = jnp.where(cov2, freq_ref[1][None, None, :], freq_ref[0][None, None, :])
     q = jnp.minimum(nnz_part + freq, 5)
     coeff_ctx = 16 + block_ctx * 12 + q * 2 + prev  # base64_zd
     tok_valid = in_range & (nz_left > 0) & (first > 0)
     coeff_val = jnp.where(x >= 0, 2 * x, -2 * x - 1)  # pack_signed
 
     def shsel(a):  # covered=2 reads lane k+1 (source slot shift), fill 0
-        nxt = jnp.where(lane == 127, 0, pltpu.roll(a, 127, axis=1))
+        nxt = jnp.where(lane == 127, 0, pltpu.roll(a, 127, axis=2))
         return jnp.where(cov2, nxt, a)
 
     ctx_g = shsel(coeff_ctx)
@@ -91,7 +94,8 @@ def _tok_kernel(x_ref, tri_ref, freq_ref, o_ref):
     valid_g = shsel(tok_valid.astype(jnp.int32)) * (~lane0)
     packed = jnp.where(valid_g > 0, (ctx_g << 16) | val_g, 0)
     nz_token = (nzero_ctx << 16) | nztot
-    o_ref[...] = jnp.where(lane0, nz_token, packed).astype(jnp.uint32)
+    out = jnp.where(lane0, nz_token, packed).astype(jnp.uint32)
+    o_ref[...] = out.reshape(1024, 128)
 
 
 def tokenize_cells(
@@ -112,24 +116,26 @@ def tokenize_cells(
         prev_init.astype(jnp.int32),
         first,
     )
-    x = jnp.concatenate(
-        [meta[..., None], ordered[..., 1:].astype(jnp.int32)], axis=-1
-    ).reshape(n, 128)
+    x = ordered.astype(jnp.int32).reshape(n, 128)
+    meta = meta.reshape(n)
     pad = (-n) % R
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad, 128), jnp.int32)], axis=0)
+        meta = jnp.concatenate([meta, jnp.zeros((pad,), jnp.int32)])
+    meta2d = meta.reshape(-1, 128)
     out = pl.pallas_call(
         _tok_kernel,
         grid=((n + pad) // R,),
         in_specs=[
             pl.BlockSpec((R, 128), lambda i: (i, 0)),
+            pl.BlockSpec((8, 128), lambda i: (i, 0)),
             pl.BlockSpec((128, 128), lambda i: (0, 0)),
             pl.BlockSpec((2, 128), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((R, 128), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n + pad, 128), jnp.uint32),
         interpret=_interpret(),
-    )(x, jnp.asarray(_TRI_INCL), jnp.asarray(_FREQ_TAB))
+    )(x, meta2d, jnp.asarray(_TRI_INCL), jnp.asarray(_FREQ_TAB))
     tokens = out[:n].reshape(shp)
     slot = jnp.arange(128)
     last_valid = jnp.max(
