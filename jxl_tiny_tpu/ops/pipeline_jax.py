@@ -200,8 +200,11 @@ def _masking_sqrt(v):
 
 
 def _block_sums(a):
-    g, h, w = a.shape
-    return a.reshape(g, h // 8, 8, w // 8, 8).sum(axis=(2, 4))
+    # Pinned fold order (see ref/pipeline_np._strided_sum): bit-equal
+    # across numpy / XLA / Pallas implementations.
+    from ..ref.pipeline_np import _strided_sum
+
+    return _strided_sum(_strided_sum(a, 8, 2), 8, 1)
 
 
 def _compute_mask(v):
@@ -236,10 +239,10 @@ def adaptive_quant_field(xyb, distance, inv_scale):
         d = gammac * (p - base)
         return d * d
 
+    from ..ref.pipeline_np import _strided_sum
+
     diff = _masking_sqrt(diffsq(y_pl) + F32(23.426802998210313) * diffsq(x_pl))
-    pre_erosion = (
-        diff.reshape(g, 64, 4, 64, 4).sum(axis=(2, 4)) * F32(0.25)
-    )
+    pre_erosion = _strided_sum(_strided_sum(diff, 4, 2), 4, 1) * F32(0.25)
 
     pe_pad = jnp.pad(pre_erosion, ((0, 0), (1, 1), (1, 1)), mode="edge")
     neigh = jnp.stack(
@@ -250,8 +253,9 @@ def adaptive_quant_field(xyb, distance, inv_scale):
         ]
     )
     neigh = jnp.sort(neigh, axis=0)
-    v = F32(0.05) * (pre_erosion + neigh[:4].sum(axis=0))
-    aq = v.reshape(g, 32, 2, 32, 2).sum(axis=(2, 4))
+    low4 = (neigh[0] + neigh[1]) + (neigh[2] + neigh[3])
+    v = F32(0.05) * (pre_erosion + low4)
+    aq = _strided_sum(_strided_sum(v, 2, 2), 2, 1)
     masking = 1.0 / (aq + F32(0.001))
 
     val = _compute_mask(aq)

@@ -86,10 +86,25 @@ def _compute_mask(v):
     )
 
 
+def _strided_sum(a, n, axis):
+    """Sum n-strided slices along axis, sequential left-fold order.
+
+    The fold order is pinned (identical expressions in the numpy golden,
+    the jnp pipeline, and the Pallas kernels) so float results stay
+    bit-equal across implementations; implicit reshape-sum reduction
+    orders are backend-defined."""
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, None, n)
+    s = a[tuple(sl)]
+    for i in range(1, n):
+        sl[axis] = slice(i, None, n)
+        s = s + a[tuple(sl)]
+    return s
+
+
 def _block_sums(a):
     """Sum over 8x8 blocks: [H, W] -> [H/8, W/8]."""
-    h, w = a.shape
-    return a.reshape(h // 8, 8, w // 8, 8).sum(axis=(1, 3))
+    return _strided_sum(_strided_sum(a, 8, 1), 8, 0)
 
 
 def compute_adaptive_quant_field(xyb: np.ndarray, distance: float, inv_scale: float):
@@ -125,7 +140,7 @@ def compute_adaptive_quant_field(xyb: np.ndarray, distance: float, inv_scale: fl
     diff = _masking_sqrt(diff_y + k_x_mul * diff_x).astype(np.float32)
     # 4x4 subsample: sum * 0.25 (":484-491").
     pre_erosion = (
-        diff.reshape(h // 4, 4, w // 4, 4).sum(axis=(1, 3)) * np.float32(0.25)
+        _strided_sum(_strided_sum(diff, 4, 1), 4, 0) * np.float32(0.25)
     ).astype(np.float32)
 
     # Fuzzy erosion (":326-374"): 0.05*(center + 4 smallest of 3x3), 2x down.
@@ -137,9 +152,11 @@ def compute_adaptive_quant_field(xyb: np.ndarray, distance: float, inv_scale: fl
         ]
     )
     neigh_sorted = np.sort(neigh, axis=0)
-    v = np.float32(0.05) * (pre_erosion + neigh_sorted[:4].sum(axis=0))
-    eh, ew = v.shape
-    aq = v.reshape(eh // 2, 2, ew // 2, 2).sum(axis=(1, 3)).astype(np.float32)
+    low4 = (neigh_sorted[0] + neigh_sorted[1]) + (
+        neigh_sorted[2] + neigh_sorted[3]
+    )
+    v = np.float32(0.05) * (pre_erosion + low4)
+    aq = _strided_sum(_strided_sum(v, 2, 1), 2, 0).astype(np.float32)
 
     masking = (1.0 / (aq + np.float32(0.001))).astype(np.float32)
 
