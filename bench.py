@@ -98,6 +98,18 @@ def main():
         dev_times.append(time.time() - t)
     best_dev = min(dev_times)
 
+    # Tunnel round-trip latency: syncing one element of an already-computed
+    # resident array does no device work. The device-resident loop contains
+    # two such syncs; subtracting them estimates pure device compute (what a
+    # production PCIe/OS-attached chip would see per image).
+    rt_times = []
+    for _ in range(6):
+        t = time.time()
+        np.asarray(up.ravel()[:1])
+        rt_times.append(time.time() - t)
+    rt = min(rt_times)
+    dev_compute = max(best_dev - 2 * rt, 1e-6)
+
     mps = mp / best_dev
     print(
         json.dumps(
@@ -108,6 +120,8 @@ def main():
                 "vs_baseline": round(mps / BASELINE_MPS, 3),
                 "detail": {
                     "device_times_s": [round(t, 4) for t in dev_times],
+                    "tunnel_rt_s": round(rt, 4),
+                    "device_compute_est_mps": round(mp / dev_compute, 3),
                     "bytes": len(data_u8),
                     "e2e_f16_mps": round(mp / best_f16, 3),
                     "e2e_f16_times_s": [round(t, 3) for t in times_f16],
