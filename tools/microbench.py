@@ -10,16 +10,25 @@ cost of one application.
 Measured history (8MP, d=1.0, v5e; ms per application):
 
   einsums (token_data_bits, dc variant)   ~0     (fused; MXU)
-  hist_base64 on the compact stream        0.6
-  pos cumsum on the compact stream         0.2
-  compact_stream rmw / acc                32.8 / 38.9
-  bitpack pair / quad / var               30.2 / 21.7 / ~15
+  hist_base64 on the compact stream        0.3-0.6
+  compact_stream                          32.8 -> 21 (skip empty rows)
+                                          -> 15.4 (log-merge precond.)
+                                          -> 10.8 (dense-halving merge, 4 lv)
+  AC bitpack  pair / quad / oct           30.2 / 21.7 / 14.7
+    -> 11 (16-token entries) -> 6.1 (zero-init only words touched)
+  AC pack total (tdb+cumsum+var+sec)      14.9 -> 6.6-8.3
+  DC pack total                           18.8 -> 2.8-4  (tiling reshapes:
+    [Gd,~400k] arrays used 4/8 sublanes — dc_hist/merge/cumsum now run on
+    re-rowed 2D views; see pack_kernels/dc_kernels comments)
+  AQ field                                 6.8 -> 5.5 (pinned strided folds)
+  quantize+tokenize                       ~20 -> ~2-4 (Pallas kernels F/T,
+    ops/quantize_kernel.py + ops/tokenize_kernel.py)
 
   A rows-layout redesign (no compaction; tokens packed straight from the
   [G, 3072, 128] emission rows) was built, measured, and reverted: every
   downstream stage paid the 12x slot count (tdb 17, cumsum 7, oct merge 19,
-  row-bounded kernel 37, hist 13) for 86 ms of AC packing vs ~50 here —
-  token compaction earns its 33 ms by shrinking all downstream work.
+  row-bounded kernel 37, hist 13) for 86 ms of AC packing vs ~50 then —
+  token compaction earns its cost by shrinking all downstream work.
 """
 import os
 import sys
