@@ -445,24 +445,26 @@ def _merge_quads(a, n_a, b, n_b):
     return out, n_a + n_b
 
 
-def _merge_octs(a, n_a, b, n_b):
-    """Concatenate two <=224-bit 8-word entries (lists of 8 u32 arrays) into
-    a <=448-bit 16-word entry: b's bits start at offset n_a of a."""
+def _merge_wide(a, n_a, b, n_b):
+    """Concatenate two nw-word entries (lists of nw u32 arrays, <=28 bits
+    per underlying token) into one 2*nw-word entry: b's bits start at
+    offset n_a of a."""
+    nw = len(a)
     s = (n_a & 31).astype(jnp.uint32)
-    c = n_a >> 5  # word carry: 0..7 (n_a <= 224)
+    c = n_a >> 5  # word carry: 0..nw-1
     ish = (jnp.uint32(32) - s) & 31
     z = s == 0
-    # b shifted left by s bits within its own 9-word frame.
+    # b shifted left by s bits within its own (nw+1)-word frame.
     v = [b[0] << s]
-    for k in range(1, 8):
+    for k in range(1, nw):
         v.append(jnp.where(z, b[k], (b[k - 1] >> ish) | (b[k] << s)))
-    v.append(jnp.where(z, jnp.uint32(0), b[7] >> ish))
+    v.append(jnp.where(z, jnp.uint32(0), b[nw - 1] >> ish))
     out = []
-    for j in range(16):
-        w = a[j] if j < 8 else jnp.zeros_like(a[0])
-        for ci in range(8):
+    for j in range(2 * nw):
+        w = a[j] if j < nw else jnp.zeros_like(a[0])
+        for ci in range(nw):
             k = j - ci
-            if 0 <= k <= 8:
+            if 0 <= k <= nw:
                 w = w | jnp.where(c == ci, v[k], 0)
         out.append(w)
     return out, n_a + n_b
@@ -490,16 +492,20 @@ def _oct_entries(data, nbits):
     return jnp.stack(oct_, axis=-1), n8
 
 
-def _hex_entries(data, nbits):
-    """[G, E*16] tokens -> interleaved <=448-bit 16-token entries.
+def _wide_entries(data, nbits, fan):
+    """[G, E*fan] tokens -> interleaved <=fan*28-bit fan-token entries
+    (fan a power of two >= 8).
 
-    Returns (qall [G, E, 16] u32 entry words, n16 [G, E] i32 total bits)."""
-    oct_, n8 = _oct_words(data, nbits)
-    hex_, n16 = _merge_octs(
-        [o[:, 0::2] for o in oct_], n8[:, 0::2],
-        [o[:, 1::2] for o in oct_], n8[:, 1::2],
-    )
-    return jnp.stack(hex_, axis=-1), n16
+    Returns (qall [G, E, fan] u32 entry words, n [G, E] i32 total bits)."""
+    words, n = _oct_words(data, nbits)
+    f = 8
+    while f < fan:
+        words, n = _merge_wide(
+            [w[:, 0::2] for w in words], n[:, 0::2],
+            [w[:, 1::2] for w in words], n[:, 1::2],
+        )
+        f *= 2
+    return jnp.stack(words, axis=-1), n
 
 
 def _emit_entry(qall_ref, base, p, n8, out_ref, ow, fan=8):
@@ -578,12 +584,13 @@ def _pick_chunk(nent, fan, budget_words=16384):
     raise ValueError(f"no 128-multiple chunk divides {nent}")
 
 
-def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=16, sparse=True):
-    """Variable-window entry packer: `fan` (8 or 16) adjacent tokens fuse
-    into one <=fan*28-bit entry (vectorized pair->quad->oct->hex merges);
+def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=32, sparse=True):
+    """Variable-window entry packer: `fan` (power of two >= 8) adjacent
+    tokens fuse into one <=fan*28-bit entry (vectorized log-merge tree);
     the scalar loop then writes only the words each entry actually
     overlaps. The loop-iteration floor (~30 ns) dominates per-entry cost,
-    so wider entries nearly halve kernel time per doubling.
+    so wider entries nearly halve kernel time per doubling until the
+    merge tree's select chains catch up (measured optimum: fan=32).
 
     data/nbits/pos: [G, cap] per-token bit patterns, widths (<=28), and
     absolute bit positions (width-0 entries are no-ops); cap % (fan*ch)
@@ -603,7 +610,7 @@ def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=16, sparse=True):
     nch_rows = cap // (fan * ch)
     d2 = data.reshape(g * nch_rows, fan * ch)
     n2 = nbits.reshape(g * nch_rows, fan * ch)
-    qall, nent = (_hex_entries if fan == 16 else _oct_entries)(d2, n2)
+    qall, nent = _wide_entries(d2, n2, fan)
     qall = qall.reshape(g, cap // fan, fan)
     nent = nent.reshape(g, cap // fan)
     posf = pos[:, 0::fan]
