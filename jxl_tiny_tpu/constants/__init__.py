@@ -105,3 +105,16 @@ INV_COLOR_FACTOR = np.float32(1.0 / 84)
 
 # --- DCT LLF resampling scales (reference: encoder/dct_scales.h:53-58) ---
 DCT_SCALE_16_TO_2 = np.float32(0.901764195028874394)
+
+# --- Saturating-quantizer clamps (TPU-build deviation, documented) ---
+# The 64-symbol hybrid-uint alphabet (entropy_code.h:16, token.h:24-48) tops
+# out at token 63, i.e. token values < 2^16. PackSigned therefore requires
+# |AC coefficient| <= 32767, and |DC value| <= 16383 (the clamped-gradient
+# DC residual of two in-range values stays < 2^15, so its PackSigned fits
+# 16 bits). The reference stores DC as int16 (dc_group_data.h, Image3S) and
+# would silently wrap / emit out-of-alphabet tokens on the same extreme-HDR
+# content; this build saturates at the quantizer instead — the stream stays
+# valid and decodable, and all pipelines (numpy golden, XLA, Pallas)
+# saturate identically so cross-pipeline bit-equality holds.
+AC_COEF_CLAMP = 32767
+DC_VALUE_CLAMP = 16383

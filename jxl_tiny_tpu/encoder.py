@@ -461,6 +461,8 @@ class DeviceEncodeJob:
             )
 
         self._run_a = run_a
+        self._compact_ac = True
+        self._compact_dc = True
         self._static = not self.config.optimize_code
         if self._static:
             # One-pass tier: analysis + packing with static codes is a
@@ -534,6 +536,9 @@ class DeviceEncodeJob:
         self._wcap_dc = min(
             1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
         )
+        compacts = dict(
+            compact_ac=self._compact_ac, compact_dc=self._compact_dc
+        )
         if self._static:
             out = analyze_pack_static(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
@@ -543,7 +548,7 @@ class DeviceEncodeJob:
                 blocks=self.config.optimize_block_sizes,
                 ow_ac=self.ow, wcap_ac=self.wcap,
                 ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
-                **self._kwargs,
+                **compacts, **self._kwargs,
             )
         else:
             out = pack_all_sections(
@@ -551,6 +556,7 @@ class DeviceEncodeJob:
                 self.out_a["dc_layout"], self._d_dc,
                 ow_ac=self.ow, wcap_ac=self.wcap,
                 ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
+                **compacts,
             )
         self.out_b = dict(words=out["ac_words"])
         self.out_dc = dict(words=out["dc_words"])
@@ -566,15 +572,16 @@ class DeviceEncodeJob:
         return self._small_np
 
     @staticmethod
+    def _used_words(bits, offs):
+        """Words the compaction buffer actually needs for these sections."""
+        nblk = (bits + (32 * 128 - 1)) // (32 * 128)
+        return int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
+
+    @staticmethod
     def _download_writers(words_dev, bits, offs, wcap, n):
         """Slice the compacted section buffer into per-section BitWriters."""
-        nblk = (bits + (32 * 128 - 1)) // (32 * 128)
-        used = int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
-        if used > wcap:
-            raise NotImplementedError(
-                "wcap overflow: image too large for single-buffer section "
-                "compaction; use encode_image_jax"
-            )
+        used = DeviceEncodeJob._used_words(bits, offs)
+        assert used <= wcap, "caller must fall back to uncompacted download"
         dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
         words = np.asarray(words_dev[:dl])
         return [
@@ -585,36 +592,84 @@ class DeviceEncodeJob:
             for k in range(n)
         ]
 
+    @staticmethod
+    def _download_writers_rows(words_dev, bits, n):
+        """Per-section BitWriters from uncompacted [n, ow] padded rows (the
+        wcap-overflow fallback path: one padded download, no capacity
+        ceiling)."""
+        maxw = (int(bits.max(initial=0)) + 31) // 32
+        words = np.asarray(words_dev[:, : max(maxw, 1)])
+        return [
+            _writer_from_bits(
+                np.ascontiguousarray(
+                    words[k, : (int(bits[k]) + 31) // 32]
+                ).view(np.uint8),
+                int(bits[k]),
+            )
+            for k in range(n)
+        ]
+
     def _fetch_sections(self):
         if self._ac_list is not None:
             return
+        from .ops.pack_kernels import VAR_FAN, var_safe_words
+
         g = self.dim.num_groups
         gd = self.dim.num_dc_groups
+        margin = VAR_FAN + 1
         while True:
             small = self._small_sync()
             ac_bits = small[:g]
             ac_offs = small[g : 2 * g]
             dc_bits = small[2 * g : 2 * g + gd]
             dc_offs = small[2 * g + gd : 2 * g + 2 * gd]
-            if int(ac_bits.max(initial=0)) > self.ow * 32 - 32:
+            # Retry against the var-packer's real safe capacity (ow minus
+            # the fan margin its entry clamp needs), not the raw ow — a
+            # section landing inside the margin would pack corrupt words
+            # with no error. The bumped bucket is strictly larger than the
+            # current ow whenever the check fails (see var_safe_words).
+            need_ac = (int(ac_bits.max(initial=0)) + 31) // 32
+            if need_ac > var_safe_words(self.ow):
                 self.ow = _next_bucket(
-                    (8192, 32768, 131072), (int(ac_bits.max()) + 31) // 32
+                    (8192, 32768, 131072), need_ac + margin
                 )
                 self._dispatch_b()
                 continue
-            if int(dc_bits.max(initial=0)) > self._ow_dc * 32 - 32:
+            need_dc = (int(dc_bits.max(initial=0)) + 31) // 32
+            if need_dc > var_safe_words(self._ow_dc):
                 self._ow_dc = _next_bucket(
-                    (8192, 16384, 32768), (int(dc_bits.max()) + 31) // 32
+                    (8192, 32768, 131072), need_dc + margin
                 )
+                self._dispatch_b()
+                continue
+            # Total compacted words can exceed the VMEM-bounded wcap buffer
+            # on very large images at low distance; switch that section kind
+            # to the uncompacted per-group-row download (no capacity limit).
+            if self._compact_ac and self._used_words(ac_bits, ac_offs) > self.wcap:
+                self._compact_ac = False
+                self._dispatch_b()
+                continue
+            if self._compact_dc and self._used_words(dc_bits, dc_offs) > self._wcap_dc:
+                self._compact_dc = False
                 self._dispatch_b()
                 continue
             break
-        self._ac_list = self._download_writers(
-            self.out_b["words"], ac_bits, ac_offs, self.wcap, g
-        )
-        self._dc_list = self._download_writers(
-            self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd
-        )
+        if self._compact_ac:
+            self._ac_list = self._download_writers(
+                self.out_b["words"], ac_bits, ac_offs, self.wcap, g
+            )
+        else:
+            self._ac_list = self._download_writers_rows(
+                self.out_b["words"], ac_bits, g
+            )
+        if self._compact_dc:
+            self._dc_list = self._download_writers(
+                self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd
+            )
+        else:
+            self._dc_list = self._download_writers_rows(
+                self.out_dc["words"], dc_bits, gd
+            )
 
     def _ac_writers(self):
         self._fetch_sections()
@@ -704,9 +759,13 @@ def encode_image_device_mesh(
     packed = pack_ac_sections_sharded(
         out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
     )
+    from .ops.pack_kernels import VAR_FAN, var_safe_words
+
     bits = np.asarray(packed["bits"])
-    if int(bits[:g].max(initial=0)) > ow * 32 - 32:
-        ow = _next_bucket((8192, 32768, 131072), (int(bits.max()) + 31) // 32)
+    # var_safe_words check: see DeviceEncodeJob._fetch_sections.
+    need = (int(bits[:g].max(initial=0)) + 31) // 32
+    if need > var_safe_words(ow):
+        ow = _next_bucket((8192, 32768, 131072), need + VAR_FAN + 1)
         packed = pack_ac_sections_sharded(
             out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
         )
@@ -762,6 +821,7 @@ def encode_batch_device(
     one shape and dtype (u8 sRGB or float linear)."""
     import jax.numpy as jnp
     from .ops.pipeline_jax import analyze_batch_packed
+    from .ops import pack_kernels as PK
     from .ops.pack_kernels import ac_base64_map
     from .ops.dc_kernels import pack_batch_sections
     from .entropy.entropy_write import (
@@ -830,11 +890,15 @@ def encode_batch_device(
     wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
     ow_dc = 8192
     wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
+    compact_ac = compact_dc = True
     while True:
+        wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
+        wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
         out_b = pack_batch_sections(
             stream, totals_d, jnp.asarray(d_ac),
             out_a["dc_layout"], jnp.asarray(d_dc),
             ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
+            compact_ac=compact_ac, compact_dc=compact_dc,
         )
         small = np.asarray(out_b["small"])
         ng, ngd = n * g, n * gd
@@ -842,24 +906,41 @@ def encode_batch_device(
         ac_offs = small[ng : 2 * ng]
         dc_bits = small[2 * ng : 2 * ng + ngd]
         dc_offs = small[2 * ng + ngd : 2 * ng + 2 * ngd]
-        if int(ac_bits.max(initial=0)) > ow * 32 - 32:
-            ow = _next_bucket(
-                (8192, 32768, 131072), (int(ac_bits.max()) + 31) // 32
-            )
+        # var_safe_words check: see DeviceEncodeJob._fetch_sections.
+        margin = PK.VAR_FAN + 1
+        need_ac = (int(ac_bits.max(initial=0)) + 31) // 32
+        if need_ac > PK.var_safe_words(ow):
+            ow = _next_bucket((8192, 32768, 131072), need_ac + margin)
             continue
-        if int(dc_bits.max(initial=0)) > ow_dc * 32 - 32:
-            ow_dc = _next_bucket(
-                (8192, 16384, 32768), (int(dc_bits.max()) + 31) // 32
-            )
+        need_dc = (int(dc_bits.max(initial=0)) + 31) // 32
+        if need_dc > PK.var_safe_words(ow_dc):
+            ow_dc = _next_bucket((8192, 32768, 131072), need_dc + margin)
+            continue
+        used = DeviceEncodeJob._used_words
+        if compact_ac and used(ac_bits, ac_offs) > wcap:
+            compact_ac = False
+            continue
+        if compact_dc and used(dc_bits, dc_offs) > wcap_dc:
+            compact_dc = False
             continue
         break
 
-    ac_w = DeviceEncodeJob._download_writers(
-        out_b["ac_words"], ac_bits, ac_offs, wcap, n * g
-    )
-    dc_w = DeviceEncodeJob._download_writers(
-        out_b["dc_words"], dc_bits, dc_offs, wcap_dc, n * gd
-    )
+    if compact_ac:
+        ac_w = DeviceEncodeJob._download_writers(
+            out_b["ac_words"], ac_bits, ac_offs, wcap, n * g
+        )
+    else:
+        ac_w = DeviceEncodeJob._download_writers_rows(
+            out_b["ac_words"], ac_bits, n * g
+        )
+    if compact_dc:
+        dc_w = DeviceEncodeJob._download_writers(
+            out_b["dc_words"], dc_bits, dc_offs, wcap_dc, n * gd
+        )
+    else:
+        dc_w = DeviceEncodeJob._download_writers_rows(
+            out_b["dc_words"], dc_bits, n * gd
+        )
     results = []
     for k in range(n):
         results.append(

@@ -7,8 +7,9 @@ Mirrors WriteDCGroup (enc_frame.cc:536-570): per DC group, the section is
 The reference emits these serially on the host; here the whole section is a
 *fixed flat layout* of u32 entries per DC group — real tokens, raw-bit
 entries, and zero-width padding — so no compaction pass is needed: the
-scalar bit-pack kernel (pack_kernels.bitpack_groups) skips nbits=0 slots by
-construction, and raw header bits are just literal (data, nbits) entries.
+scalar bit-pack kernel (pack_kernels.bitpack_groups_var) skips nbits=0
+slots by construction, and raw header bits are just literal (data, nbits)
+entries.
 Prediction contexts are computed vectorized: the reference's sequential
 raster scans depend only on *original* neighbor values (enc_frame.cc:296-303,
 340-408), so gradients are shifted-neighbor arithmetic and the
@@ -231,10 +232,21 @@ def dc_hist(layout):
     is_tok = tag < 45
     tok, _, _ = _uint_token_extra(layout & 0xFFFF)
     ar = jnp.arange(64)
-    a = ((tag[..., None] == ar) & is_tok[..., None]).astype(jnp.bfloat16)
-    b = (tok[..., None] == ar).astype(jnp.bfloat16)
-    h = jnp.einsum("gtc,gtk->ck", a, b, preferred_element_type=jnp.float32)
-    return h.astype(jnp.uint32)
+    # Chunked u32 accumulation: f32 counts are exact only below 2^24 (see
+    # pack_kernels.hist_base64); each chunk covers < 2^23 entries.
+    rows = layout.shape[0]
+    rch = max(1, (1 << 23) // 4096)
+    h = jnp.zeros((64, 64), jnp.uint32)
+    for i in range(0, rows, rch):
+        a = (
+            (tag[i : i + rch, :, None] == ar) & is_tok[i : i + rch, :, None]
+        ).astype(jnp.bfloat16)
+        b = (tok[i : i + rch, :, None] == ar).astype(jnp.bfloat16)
+        part = jnp.einsum(
+            "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
+        )
+        h = h + part.astype(jnp.uint32)
+    return h
 
 
 def dc_token_data_bits(layout, d_table):
@@ -263,7 +275,7 @@ def dc_token_data_bits(layout, d_table):
     return data, nbits
 
 
-def _pack_dc_impl(layout, d_table, ow, wcap):
+def _pack_dc_impl(layout, d_table, ow, wcap, compact=True):
     from .pack_kernels import bitpack_groups_var, compact_sections
 
     g, cap = layout.shape
@@ -284,29 +296,36 @@ def _pack_dc_impl(layout, d_table, ow, wcap):
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
     packed = bitpack_groups_var(data, nbits, pos, ow)
+    if not compact:
+        # Overflow fallback — see pack_kernels._pack_ac_impl.
+        return dict(words=packed, bits=bits, word_offs=jnp.zeros_like(bits))
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 
 
-@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
-def pack_dc_sections(layout, d_table, ow, wcap):
+@functools.partial(jax.jit, static_argnames=("ow", "wcap", "compact"))
+def pack_dc_sections(layout, d_table, ow, wcap, compact=True):
     """Device program B for DC sections: layout + code table -> section
     words (same bitpack + word-compaction kernels as the AC path)."""
-    return _pack_dc_impl(layout, d_table, ow, wcap)
+    return _pack_dc_impl(layout, d_table, ow, wcap, compact)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
+    jax.jit,
+    static_argnames=(
+        "ow_ac", "wcap_ac", "ow_dc", "wcap_dc", "compact_ac", "compact_dc"
+    ),
 )
 def pack_all_sections(
-    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc,
+    compact_ac=True, compact_dc=True,
 ):
     """Single program B: AC + DC section packing in one dispatch (one
     device roundtrip on high-latency links)."""
     from .pack_kernels import _pack_ac_impl
 
-    ac = _pack_ac_impl(stream, totals, d_ac, ow_ac, wcap_ac)
-    dc = _pack_dc_impl(layout, d_dc, ow_dc, wcap_dc)
+    ac = _pack_ac_impl(stream, totals, d_ac, ow_ac, wcap_ac, compact_ac)
+    dc = _pack_dc_impl(layout, d_dc, ow_dc, wcap_dc, compact_dc)
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
         dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],
@@ -333,6 +352,8 @@ def pack_all_sections(
         "wcap_ac",
         "ow_dc",
         "wcap_dc",
+        "compact_ac",
+        "compact_dc",
     ),
 )
 def analyze_pack_static(
@@ -353,6 +374,8 @@ def analyze_pack_static(
     wcap_ac,
     ow_dc,
     wcap_dc,
+    compact_ac=True,
+    compact_dc=True,
 ):
     """One-pass tier: the whole encode (analysis + section packing with
     static code tables) as a single device program and roundtrip — the
@@ -367,6 +390,7 @@ def analyze_pack_static(
     b = pack_all_sections(
         a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"], d_dc,
         ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
+        compact_ac=compact_ac, compact_dc=compact_dc,
     )
     b["totals"] = a["totals"]
     b["small"] = jnp.concatenate([b["small"], a["totals"].astype(jnp.int32)])
@@ -374,10 +398,14 @@ def analyze_pack_static(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ow_ac", "wcap_ac", "ow_dc", "wcap_dc")
+    jax.jit,
+    static_argnames=(
+        "ow_ac", "wcap_ac", "ow_dc", "wcap_dc", "compact_ac", "compact_dc"
+    ),
 )
 def pack_batch_sections(
-    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc
+    stream, totals, d_ac, layout, d_dc, ow_ac, wcap_ac, ow_dc, wcap_dc,
+    compact_ac=True, compact_dc=True,
 ):
     """Batched program B: N images' sections in one dispatch. d_ac/d_dc are
     per-image factored tables [N, 9, 64]; stream holds N*G groups and layout N*Gd
@@ -389,8 +417,8 @@ def pack_batch_sections(
     gd_per = layout.shape[0] // n
     d_ac_pg = jnp.repeat(d_ac, g_per, axis=0)
     d_dc_pg = jnp.repeat(d_dc, gd_per, axis=0)
-    ac = _pack_ac_impl(stream, totals, d_ac_pg, ow_ac, wcap_ac)
-    dc = _pack_dc_impl(layout, d_dc_pg, ow_dc, wcap_dc)
+    ac = _pack_ac_impl(stream, totals, d_ac_pg, ow_ac, wcap_ac, compact_ac)
+    dc = _pack_dc_impl(layout, d_dc_pg, ow_dc, wcap_dc, compact_dc)
     return dict(
         ac_words=ac["words"], ac_bits=ac["bits"], ac_offs=ac["word_offs"],
         dc_words=dc["words"], dc_bits=dc["bits"], dc_offs=dc["word_offs"],

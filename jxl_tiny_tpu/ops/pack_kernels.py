@@ -255,21 +255,31 @@ def _uint_token_extra(value):
     return tok, nbits, extra
 
 
-def hist_base64(stream, totals):
+def hist_base64(stream, totals, chunk_tokens=1 << 23):
     """Integer-exact [64, 64] histogram via bf16 one-hot outer product on the
-    MXU (counts < 2^24 are exact in the f32 accumulator). Order-invariant sum
+    MXU. Counts are exact in the f32 accumulator only below 2^24, so the
+    contraction is split along the group axis into chunks of < 2^23 token
+    slots and accumulated as uint32 — exact (and therefore shard-invariant)
+    at any image size, including 64MP+ noisy content where a single
+    (base_ctx, token) bucket exceeds 16.7M. Order-invariant integer sum
     => byte-identical entropy codes under any group sharding."""
     g, cap = stream.shape
     valid = jnp.arange(cap)[None, :] < totals[:, None]
     base = (stream >> 16).astype(jnp.int32) & 63
     tok, _, _ = _uint_token_extra(stream & 0xFFFF)
     ar = jnp.arange(NUM_BASE_CTXS)
-    a = ((base[..., None] == ar) & valid[..., None]).astype(jnp.bfloat16)
-    b = (tok[..., None] == ar).astype(jnp.bfloat16)
-    hist = jnp.einsum(
-        "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
-    )
-    return hist.astype(jnp.uint32)
+    gch = max(1, chunk_tokens // cap)
+    hist = jnp.zeros((NUM_BASE_CTXS, NUM_BASE_CTXS), jnp.uint32)
+    for i in range(0, g, gch):
+        a = (
+            (base[i : i + gch, :, None] == ar) & valid[i : i + gch, :, None]
+        ).astype(jnp.bfloat16)
+        b = (tok[i : i + gch, :, None] == ar).astype(jnp.bfloat16)
+        part = jnp.einsum(
+            "gtc,gtk->ck", a, b, preferred_element_type=jnp.float32
+        )
+        hist = hist + part.astype(jnp.uint32)
+    return hist
 
 
 # ---------------------------------------------------------------------------
@@ -331,67 +341,6 @@ def token_data_bits(stream, totals, d_table):
 # ---------------------------------------------------------------------------
 # Bit packing: (data, pos) -> section words, scalar SMEM kernel
 # ---------------------------------------------------------------------------
-
-
-def _bitpack_kernel(bound_ref, data_ref, pos_ref, out_ref, *, ow, ch):
-    c = pl.program_id(1)
-
-    @pl.when(c == 0)
-    def _():
-        def zbody(i, _):
-            out_ref[0, 0, i] = jnp.uint32(0)
-            return 0
-
-        jax.lax.fori_loop(0, ow, zbody, 0)
-
-    n = bound_ref[0, 0, c]
-
-    def body(t, _):
-        p = pos_ref[0, 0, t]
-        d = data_ref[0, 0, t]
-        w = jnp.minimum(p >> 5, ow - 2)
-        sh = (p & 31).astype(jnp.uint32)
-        out_ref[0, 0, w] = out_ref[0, 0, w] | (d << sh)
-        hi = jax.lax.select(
-            sh == 0, jnp.uint32(0), d >> (jnp.uint32(32) - sh)
-        )
-        out_ref[0, 0, w + 1] = out_ref[0, 0, w + 1] | hi
-        return 0
-
-    jax.lax.fori_loop(0, n, body, 0)
-
-
-def bitpack_groups(data, pos, totals, ow, ch=2048, chunk_bounds=None):
-    """data/pos: [G, cap]; totals: [G]. Returns packed words [G, ow] u32.
-
-    Positions are absolute bit offsets within the group's section. Tokens
-    whose words exceed `ow` are clamped into the last words (callers detect
-    via bit counts and re-run at a larger ow).
-
-    chunk_bounds: optional [G, cap//ch] per-chunk iteration bounds (index of
-    the last nonzero-width entry + 1 per chunk) — sparse layouts (device DC
-    sections) skip their zero-width runs this way. Default derives dense
-    bounds from `totals`."""
-    g, cap = data.shape
-    assert cap % ch == 0
-    nch = cap // ch
-    if chunk_bounds is None:
-        chunk_bounds = jnp.clip(
-            totals[:, None] - jnp.arange(nch)[None, :] * ch, 0, ch
-        )
-    out = pl.pallas_call(
-        functools.partial(_bitpack_kernel, ow=ow, ch=ch),
-        grid=(g, nch),
-        in_specs=[
-            pl.BlockSpec((1, 1, nch), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, ch), lambda i, c: (i, 0, c), memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, ow), lambda i, c: (i, 0, 0), memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 1, ow), jnp.uint32),
-        interpret=_interpret(),
-    )(chunk_bounds[:, None, :].astype(jnp.int32), data[:, None, :], pos[:, None, :])
-    return out[:, 0]
 
 
 def _pair_entries(data, nbits):
@@ -584,7 +533,20 @@ def _pick_chunk(nent, fan, budget_words=16384):
     raise ValueError(f"no 128-multiple chunk divides {nent}")
 
 
-def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=32, sparse=True):
+VAR_FAN = 32  # default entry fan of bitpack_groups_var
+
+
+def var_safe_words(ow, fan=VAR_FAN):
+    """Largest section word count bitpack_groups_var packs correctly at this
+    ow. _emit_entry clamps entry start words to ow-(fan+1); an entry whose
+    true start word exceeds that is silently mis-placed, so callers must
+    compare ceil(bits/32) against THIS (not ow) and retry with a larger ow
+    — `_next_bucket(buckets, ceil(bits/32) + fan + 1)` is strictly larger
+    than the current ow whenever the check fails."""
+    return ow - (fan + 1)
+
+
+def bitpack_groups_var(data, nbits, pos, ow, ch=None, fan=VAR_FAN, sparse=True):
     """Variable-window entry packer: `fan` (power of two >= 8) adjacent
     tokens fuse into one <=fan*28-bit entry (vectorized log-merge tree);
     the scalar loop then writes only the words each entry actually
@@ -709,23 +671,30 @@ def compact_sections(packed, bits, wcap):
 # ---------------------------------------------------------------------------
 
 
-def _pack_ac_impl(stream, totals, d_table, ow, wcap):
+def _pack_ac_impl(stream, totals, d_table, ow, wcap, compact=True):
     data, nbits = token_data_bits(stream, totals, d_table)
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
     packed = bitpack_groups_var(data, nbits, pos, ow)
+    if not compact:
+        # Overflow fallback: total section words exceed the single [wcap]
+        # compaction buffer (VMEM-bounded). Return the padded per-group
+        # rows instead; the host slices each row (capacity-safe at any
+        # image size, at the cost of a padded download).
+        return dict(words=packed, bits=bits, word_offs=jnp.zeros_like(bits))
     words, offs = compact_sections(packed, bits, wcap)
     return dict(words=words, bits=bits, word_offs=offs)
 
 
-@functools.partial(jax.jit, static_argnames=("ow", "wcap"))
-def pack_ac_sections(stream, totals, d_table, ow, wcap):
+@functools.partial(jax.jit, static_argnames=("ow", "wcap", "compact"))
+def pack_ac_sections(stream, totals, d_table, ow, wcap, compact=True):
     """Device program B. stream: [G, cap(+128)] u32 resident tokens;
     d_table: [64, 64] f32 (depth<<16|bits, composed with final clustering).
 
-    Returns dict(words [wcap] u32, bits [G] i32, word_offs [G] i32)."""
-    return _pack_ac_impl(stream, totals, d_table, ow, wcap)
+    Returns dict(words [wcap] u32 (or [G, ow] when compact=False),
+    bits [G] i32, word_offs [G] i32)."""
+    return _pack_ac_impl(stream, totals, d_table, ow, wcap, compact)
 
 
 def rows_from_tokens(tokens_full, count_full):

@@ -48,17 +48,6 @@ def _strategy_tables():
 
 _QM_TAB, _DQM_TAB, _THR_TAB, _ORDER_TAB = _strategy_tables()
 
-# Hybrid-uint token id for every possible 16-bit token value (gather LUT).
-def _uint_luts():
-    from ..entropy.uint_coder import uint_encode
-
-    tok, nbits, _ = uint_encode(np.arange(1 << 16, dtype=np.uint32))
-    return tok.astype(np.int32), nbits.astype(np.int32)
-
-
-_UINT_TOK_LUT, _UINT_NBITS_LUT = _uint_luts()
-
-
 def _zigzag_permutations():
     """One-hot permutation matrices: ordered = quantized @ P (MXU-friendly
     replacement for per-element gathers)."""
@@ -641,14 +630,22 @@ def encode_groups(
     quant = raw_qf.astype(F32)
     qac = scale * quant  # [G,32,32]
 
-    # Y quantize + roundtrip.
+    # Y quantize + roundtrip. Quantizers saturate at the alphabet's value
+    # range (C.AC_COEF_CLAMP / C.DC_VALUE_CLAMP, constants/__init__.py).
+    clamp = F32(C.AC_COEF_CLAMP)
+    dclamp = F32(C.DC_VALUE_CLAMP)
     valy = coefs[:, 1] * qm[:, 1] * qac[..., None]
-    qy = jnp.where(jnp.abs(valy) >= thr[:, 1], jnp.round(valy), 0.0).astype(jnp.int32)
+    qy = jnp.clip(
+        jnp.where(jnp.abs(valy) >= thr[:, 1], jnp.round(valy), 0.0),
+        -clamp, clamp,
+    ).astype(jnp.int32)
     y_deq = _adjust_quant_bias(qy, 1) * dqm[:, 1] * (1.0 / (scale * quant))[..., None]
 
     inv_factor = C.INV_DC_QUANT * np.float32(scale_dc)
     dc_y = _dc_from_llf(coefs[:, 1], strategy)
-    qdc_y = _round_away(dc_y * F32(inv_factor[1])).astype(jnp.int32)
+    qdc_y = jnp.clip(
+        _round_away(dc_y * F32(inv_factor[1])), -dclamp, dclamp
+    ).astype(jnp.int32)
 
     fac_x = (
         jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
@@ -658,16 +655,26 @@ def encode_groups(
     coef_b = coefs[:, 2] - fac_b[..., None] * y_deq
 
     valx = coef_x * qm[:, 0] * (qac * F32(x_qm_mul))[..., None]
-    qx = jnp.where(jnp.abs(valx) >= thr[:, 0], jnp.round(valx), 0.0).astype(jnp.int32)
+    qx = jnp.clip(
+        jnp.where(jnp.abs(valx) >= thr[:, 0], jnp.round(valx), 0.0),
+        -clamp, clamp,
+    ).astype(jnp.int32)
     valb = coef_b * qm[:, 2] * qac[..., None]
-    qb = jnp.where(jnp.abs(valb) >= thr[:, 2], jnp.round(valb), 0.0).astype(jnp.int32)
+    qb = jnp.clip(
+        jnp.where(jnp.abs(valb) >= thr[:, 2], jnp.round(valb), 0.0),
+        -clamp, clamp,
+    ).astype(jnp.int32)
 
     cfl_b = np.float32(C.INV_DC_QUANT[2] * C.DC_QUANT[1])
-    qdc_x = _round_away(_dc_from_llf(coef_x, strategy) * F32(inv_factor[0])).astype(
-        jnp.int32
-    )
-    qdc_b = _round_away(
-        _dc_from_llf(coef_b, strategy) * F32(inv_factor[2]) - qdc_y * cfl_b
+    qdc_x = jnp.clip(
+        _round_away(_dc_from_llf(coef_x, strategy) * F32(inv_factor[0])),
+        -dclamp, dclamp,
+    ).astype(jnp.int32)
+    qdc_b = jnp.clip(
+        _round_away(
+            _dc_from_llf(coef_b, strategy) * F32(inv_factor[2]) - qdc_y * cfl_b
+        ),
+        -dclamp, dclamp,
     ).astype(jnp.int32)
 
     quant_dc = jnp.stack(

@@ -70,9 +70,12 @@ def _quant_kernel(
     bias = C.DEFAULT_QUANT_BIAS
 
     def quantize(coef, ch, mul):
+        # Saturates at C.AC_COEF_CLAMP (see constants/__init__.py) — must
+        # match the jnp twin and the numpy golden bit-for-bit.
         val = coef * tab(qm_ref, ch) * (qac * F32(mul))[..., None]
-        return jnp.where(
-            jnp.abs(val) >= tab(thr_ref, ch), jnp.round(val), 0.0
+        q = jnp.where(jnp.abs(val) >= tab(thr_ref, ch), jnp.round(val), 0.0)
+        return jnp.clip(
+            q, -F32(C.AC_COEF_CLAMP), F32(C.AC_COEF_CLAMP)
         ).astype(jnp.int32)
 
     cy = coefs_ch(1)
@@ -99,12 +102,17 @@ def _quant_kernel(
         c1 = coef[..., 1] * sc
         return jnp.stack([jnp.where(c2, c0 + c1, c0), c0 - c1], axis=0)
 
-    qdc_y = round_away(dc_pair(cy) * F32(inv_factor[1])).astype(jnp.int32)
-    qdc_x = round_away(dc_pair(cx) * F32(inv_factor[0])).astype(jnp.int32)
+    dclamp = F32(C.DC_VALUE_CLAMP)
+
+    def dc_clip(v):  # saturate at C.DC_VALUE_CLAMP (constants/__init__.py)
+        return jnp.clip(v, -dclamp, dclamp).astype(jnp.int32)
+
+    qdc_y = dc_clip(round_away(dc_pair(cy) * F32(inv_factor[1])))
+    qdc_x = dc_clip(round_away(dc_pair(cx) * F32(inv_factor[0])))
     cfl_b = F32(C.INV_DC_QUANT[2] * C.DC_QUANT[1])
-    qdc_b = round_away(
-        dc_pair(cb) * F32(inv_factor[2]) - qdc_y * cfl_b
-    ).astype(jnp.int32)
+    qdc_b = dc_clip(
+        round_away(dc_pair(cb) * F32(inv_factor[2]) - qdc_y * cfl_b)
+    )
     qdc_ref[0, 0] = qdc_x
     qdc_ref[0, 1] = qdc_y
     qdc_ref[0, 2] = qdc_b

@@ -4,18 +4,16 @@ The format is designed for independent-unit parallelism (groups own their TOC
 entry and entropy-coded stream), so distribution is pure data parallelism over
 the group axis 'g' — the TPU-native replacement for the reference's
 ThreadPool (base/data_parallel.h; constructed but unused there). The only
-cross-group couplings live on the host: integer histogram accumulation over
-token arrays (order-invariant => byte-identical output for any sharding) and
-final TOC/byte assembly. Device-side histogram partials + psum are provided
-for fully on-device reduction (ac_histograms / psum_histograms).
+cross-group couplings are the integer histogram psum (order-invariant =>
+byte-identical output for any sharding) and the host-side TOC/byte
+assembly.
 """
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import constants as C
-from ..ops.pipeline_jax import analyze_groups_jax, _UINT_TOK_LUT
+from ..ops.pipeline_jax import analyze_groups_jax
 
 
 def make_mesh(devices=None):
@@ -68,11 +66,7 @@ def analyze_groups_sharded(
         out = analyze_groups_fast(gshard, ybs, xbs, cap=cap, **kwargs)
     else:
         out = analyze_groups_jax(gshard, ybs, xbs, **kwargs)
-    res = {}
-    for k, v in out.items():
-        v = np.asarray(v)
-        res[k] = v if k == "ac_histogram" else v[:g]
-    return res
+    return {k: np.asarray(v)[:g] for k, v in out.items()}
 
 
 def analyze_groups_packed_sharded(
@@ -152,20 +146,3 @@ def pack_ac_sections_sharded(stream, totals, d_table, mesh: Mesh, ow=8192):
         check_vma=False,
     )
     return jax.jit(f)(stream, totals, jax.device_put(d_table, NamedSharding(mesh, P())))
-
-
-def ac_histograms(tokens, counts):
-    """Device-side AC histogram partials: [G,32,32,3,64] tokens -> [1980, 64].
-
-    Integer scatter-add; summing partials across shards (psum) is
-    order-invariant, preserving byte-identical output for any mesh shape.
-    """
-    slot = jnp.arange(64)
-    valid = slot < counts[..., None]
-    ctx = (tokens >> 16).astype(jnp.int32)
-    val = (tokens & 0xFFFF).astype(jnp.int32)
-    tok = jnp.asarray(_UINT_TOK_LUT)[val]
-    flat = (ctx * C.ALPHABET_SIZE + tok).ravel()
-    hist = jnp.zeros(C.NUM_AC_CONTEXTS * C.ALPHABET_SIZE, jnp.uint32)
-    hist = hist.at[flat].add(valid.ravel().astype(jnp.uint32))
-    return hist.reshape(C.NUM_AC_CONTEXTS, C.ALPHABET_SIZE)

@@ -139,8 +139,13 @@ def encode_group(
     qac = scale * quant
 
     # --- Y channel: quantize + roundtrip (enc_group.cc:281-302,392-408) ---
+    # Quantizers saturate at the alphabet's value range (C.AC_COEF_CLAMP /
+    # C.DC_VALUE_CLAMP; see constants/__init__.py for the derivation).
+    clamp = np.float32(C.AC_COEF_CLAMP)
     valy = coefs[1] * qm[1] * qac[..., None]
-    qy = np.where(np.abs(valy) >= thr[1], np.rint(valy), 0.0).astype(np.int32)
+    qy = np.clip(
+        np.where(np.abs(valy) >= thr[1], np.rint(valy), 0.0), -clamp, clamp
+    ).astype(np.int32)
     y_deq = (
         _adjust_quant_bias(qy, 1) * dqm[1] * (1.0 / (scale * quant))[..., None]
     ).astype(np.float32)
@@ -149,7 +154,10 @@ def encode_group(
     inv_factor = C.INV_DC_QUANT * np.float32(scale_dc)
     dc_y_f = _dc_from_llf(coefs[1], strat)  # [yb, xb, 2] (per covered cell)
     # quantized Y DC per first cell's covered cells
-    qdc_y_cells = _round_away(dc_y_f * inv_factor[1]).astype(np.int32)
+    dclamp = np.float32(C.DC_VALUE_CLAMP)
+    qdc_y_cells = np.clip(
+        _round_away(dc_y_f * inv_factor[1]), -dclamp, dclamp
+    ).astype(np.int32)
 
     # --- X, B: CfL unapply using roundtripped Y (":411-425") ---
     tile_fx = (ytox.astype(np.float32) * C.INV_COLOR_FACTOR).repeat(8, 0).repeat(8, 1)[
@@ -162,17 +170,24 @@ def encode_group(
     coef_b = coefs[2] - tile_fb[..., None] * y_deq
 
     valx = coef_x * qm[0] * (qac * np.float32(x_qm_mul))[..., None]
-    qx = np.where(np.abs(valx) >= thr[0], np.rint(valx), 0.0).astype(np.int32)
+    qx = np.clip(
+        np.where(np.abs(valx) >= thr[0], np.rint(valx), 0.0), -clamp, clamp
+    ).astype(np.int32)
     valb = coef_b * qm[2] * qac[..., None]
-    qb = np.where(np.abs(valb) >= thr[2], np.rint(valb), 0.0).astype(np.int32)
+    qb = np.clip(
+        np.where(np.abs(valb) >= thr[2], np.rint(valb), 0.0), -clamp, clamp
+    ).astype(np.int32)
 
     # --- X, B DC (":427-441"); B DC corrected by quantized Y DC ---
     cfl_b = np.float32(C.INV_DC_QUANT[2] * C.DC_QUANT[1])
     dc_x_f = _dc_from_llf(coef_x, strat)
     dc_b_f = _dc_from_llf(coef_b, strat)
-    qdc_x_cells = _round_away(dc_x_f * inv_factor[0]).astype(np.int32)
-    qdc_b_cells = _round_away(
-        dc_b_f * inv_factor[2] - qdc_y_cells * cfl_b
+    qdc_x_cells = np.clip(
+        _round_away(dc_x_f * inv_factor[0]), -dclamp, dclamp
+    ).astype(np.int32)
+    qdc_b_cells = np.clip(
+        _round_away(dc_b_f * inv_factor[2] - qdc_y_cells * cfl_b),
+        -dclamp, dclamp,
     ).astype(np.int32)
 
     # Scatter per-covered-cell DC values into [3, yb, xb].
@@ -306,11 +321,16 @@ def _tokenize(quantized, strat, is_first, covered, quant_dc, xsize_blocks, ysize
     # coefficient tokens, shifted so position `covered` lands at slot 1.
     # For both covered=1 and covered=2 the shift differs; use gather.
     slot_src = k_idx[None, None] + covered[..., None] - 1  # [yb,xb,128] source pos
+    src_oob = slot_src > 127  # covered=2 slot 127 has no source position
     slot_src = np.minimum(slot_src, 127)
     ctx_g = np.take_along_axis(coeff_ctx, slot_src[None].repeat(3, 0), axis=-1)
     val_g = np.take_along_axis(coeff_val, slot_src[None].repeat(3, 0), axis=-1)
     valid_g = np.take_along_axis(tok_valid, slot_src[None].repeat(3, 0), axis=-1)
     valid_g[..., 0] = False  # slot 0 is the nzeros token
+    # The clamp above would otherwise duplicate position 127 into slot 127
+    # of a 2-block transform when the final zig-zag position is nonzero
+    # (only reachable on extreme content that fills every position).
+    valid_g &= ~src_oob[None]
     assert (val_g[valid_g] <= 0xFFFF).all(), "token value overflow"
     # slots beyond 1 + (size - covered) are invalid by construction of tok_valid
     tokens_full[valid_g] = (

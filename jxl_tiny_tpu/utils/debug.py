@@ -21,7 +21,14 @@ def debug_mode(nan_checks=True, interpret_pallas=True):
     if nan_checks:
         jax.config.update("jax_debug_nans", True)
     if interpret_pallas:
+        # The interpret flag is read at trace time, but jitted encode
+        # programs cache compiled executables keyed only on shapes/static
+        # args — entering debug mode after a prior same-shape encode would
+        # silently reuse the compiled (non-interpreted) kernels, and kernels
+        # traced here would stay interpreted afterwards. Drop the caches at
+        # both edges so the flag always takes effect.
         os.environ["JXL_TPU_PALLAS_INTERPRET"] = "1"
+        jax.clear_caches()
     try:
         yield
     finally:
@@ -30,3 +37,5 @@ def debug_mode(nan_checks=True, interpret_pallas=True):
             os.environ.pop("JXL_TPU_PALLAS_INTERPRET", None)
         else:
             os.environ["JXL_TPU_PALLAS_INTERPRET"] = prev_env
+        if interpret_pallas:
+            jax.clear_caches()

@@ -85,26 +85,52 @@ def _ref_bitpack(data, nbits, total, ow):
     return out, p
 
 
-def test_bitpack_groups():
+def test_bitpack_var_fills_safe_capacity():
+    """A section filling right up to var_safe_words(ow) must pack
+    bit-exactly — entries near the end start within 33 words of ow, the
+    zone the entry clamp makes unsafe past the safe capacity."""
     rng = np.random.RandomState(1)
-    g, cap, ow = 3, 4096, 2048
-    totals = np.array([4096, 1777, 0], np.int32)
-    nbits = rng.randint(0, 15, size=(g, cap)).astype(np.int32)
-    data = (rng.randint(0, 1 << 28, size=(g, cap)) & ((1 << np.maximum(nbits, 1)) - 1)).astype(
-        np.uint32
-    )
-    slot = np.arange(cap)[None, :]
-    nbits = np.where(slot < totals[:, None], nbits, 0)
-    data = np.where(slot < totals[:, None], data, 0)
-    pos = np.cumsum(nbits, axis=1) - nbits
+    g, cap, ow = 1, 4096, 512
+    safe_bits = 32 * PK.var_safe_words(ow)
+    nbits = rng.randint(10, 28, size=(g, cap)).astype(np.int32)
+    cum = np.cumsum(nbits[0])
+    nbits[0, cum > safe_bits] = 0  # truncate to the safe capacity
+    data = (
+        rng.randint(0, 1 << 30, size=(g, cap))
+        & ((1 << np.maximum(nbits, 1)) - 1)
+    ).astype(np.uint32)
+    data[nbits == 0] = 0
+    pos = (np.cumsum(nbits, axis=1) - nbits).astype(np.int32)
+    total_bits = int(nbits[0].sum())
+    assert total_bits > safe_bits - 28 * 8  # actually exercises the tail
     out = np.asarray(
-        PK.bitpack_groups(
-            jnp.asarray(data), jnp.asarray(pos.astype(np.int32)), jnp.asarray(totals), ow
+        PK.bitpack_groups_var(
+            jnp.asarray(data), jnp.asarray(nbits), jnp.asarray(pos), ow
         )
     )
-    for k in range(g):
-        ref, _ = _ref_bitpack(data[k], nbits[k], totals[k], ow)
-        assert np.array_equal(out[k], ref), f"group {k}"
+    ref, _ = _ref_bitpack(data[0], nbits[0], cap, ow)
+    assert np.array_equal(out[0], ref)
+
+
+def test_bitpack_var_retry_predicate():
+    """Regression (round-1 advisor, high): a section whose word count lands
+    in (ow - fan - 1, ow] is representable by the OLD `bits > ow*32 - 32`
+    check but NOT by the packer (entry clamp mis-places its tail entries).
+    The var_safe_words predicate must flag it, and the bumped bucket must be
+    strictly larger than the current ow (the old formula could re-pick the
+    same ow and loop forever)."""
+    from jxl_tiny_tpu.encoder import _next_bucket
+
+    ow = 8192
+    for words in (ow - PK.VAR_FAN, ow - 1, ow):
+        bits = words * 32
+        assert bits <= ow * 32 - 32 or words == ow  # old check mostly passes
+        assert words > PK.var_safe_words(ow)  # new check flags it
+        new_ow = _next_bucket((8192, 32768, 131072), words + PK.VAR_FAN + 1)
+        assert new_ow > ow
+    # And a comfortably-fitting section is not flagged.
+    assert PK.var_safe_words(ow) >= ow - 33
+    assert (ow - 34) <= PK.var_safe_words(ow)
 
 
 def _rand_token_fields(rng, g, cap):
