@@ -47,15 +47,15 @@ def _extract_group(img, gx, gy):
     return img[:, ys[:, None], xs[None, :]]
 
 
-def analyze_group_numpy(img, gx, gy, distp):
+def analyze_group_numpy(img, gx, gy, distp, aq_fn=None):
     _, h, w = img.shape
     gw = min(256, w - gx * 256)
     gh = min(256, h - gy * 256)
     xb, yb = div_ceil(gw, 8), div_ceil(gh, 8)
     xyb = P.to_xyb(_extract_group(img, gx, gy))
-    qf, masking, raw_qf = P.compute_adaptive_quant_field(
-        xyb, distp.distance, distp.inv_scale
-    )
+    if aq_fn is None:
+        aq_fn = P.compute_adaptive_quant_field
+    qf, masking, raw_qf = aq_fn(xyb, distp.distance, distp.inv_scale)
     ytox, ytob = P.compute_cmap(xyb, xb, yb)
     ytox_p = _pad_tile_map(ytox)
     ytob_p = _pad_tile_map(ytob)
@@ -409,7 +409,7 @@ class DeviceEncodeJob:
     """
 
     def __init__(self, img, distance=1.0, upload_dtype=np.float16,
-                 cap=32768, ow=8192, config=None):
+                 cap=32768, ow=8192, config=None, mesh=None):
         import jax.numpy as jnp
         from .ops.pipeline_jax import analyze_image_packed
         from .common import DEFAULT_CONFIG
@@ -431,6 +431,18 @@ class DeviceEncodeJob:
                 xb_arr[i] = div_ceil(min(256, img.shape[2] - gx * 256), 8)
                 i += 1
         self.yb_arr, self.xb_arr = yb_arr, xb_arr
+        # Mesh mode: same orchestration, but both device programs run under
+        # shard_map with the group axis padded to a device multiple; words
+        # and word offsets come back per shard (parallel.sharding).
+        self.mesh = mesh
+        self._n_shards = 1 if mesh is None else mesh.devices.size
+        self._gpad = -(-g // self._n_shards) * self._n_shards
+        gd = self.dim.num_dc_groups
+        self._gd_pad = -(-gd // self._n_shards) * self._n_shards
+        if self._gpad > g:
+            pad = self._gpad - g
+            self.yb_arr = np.concatenate([yb_arr, np.zeros(pad, np.int32)])
+            self.xb_arr = np.concatenate([xb_arr, np.zeros(pad, np.int32)])
 
         if img.dtype == np.uint8:
             up = img  # sRGB u8: linearized on device (extract_groups_device)
@@ -450,17 +462,8 @@ class DeviceEncodeJob:
             scale_dc=float(self.distp.scale_dc),
             x_qm_mul=float(self.distp.x_qm_mul),
         )
-
-        def run_a(c):
-            return analyze_image_packed(
-                jnp.asarray(up), jnp.asarray(yb_arr), jnp.asarray(xb_arr),
-                cap=c,
-                cfl=self.config.optimize_chroma_from_luma,
-                blocks=self.config.optimize_block_sizes,
-                **self._kwargs,
-            )
-
-        self._run_a = run_a
+        self._up = up
+        self._run_a = self._make_run_a()
         self._compact_ac = True
         self._compact_dc = True
         self._static = not self.config.optimize_code
@@ -473,7 +476,6 @@ class DeviceEncodeJob:
                 _static_dc_table,
             )
 
-            self._up = up
             self.meta = None
             self.full_code, d_ac, self.dc_code = load_static_codes()
             self._d_dev = jnp.asarray(d_ac)
@@ -481,7 +483,38 @@ class DeviceEncodeJob:
             self._ow_dc = 8192
             self._dispatch_b()
         else:
-            self.out_a = run_a(cap)  # dispatched; not synced
+            self.out_a = self._run_a(cap)  # dispatched; not synced
+
+    def _make_run_a(self):
+        import jax.numpy as jnp
+        from .ops.pipeline_jax import analyze_image_packed
+
+        if self.mesh is not None:
+            from .parallel.sharding import analyze_image_packed_mesh
+
+            def run_a(c):
+                return analyze_image_packed_mesh(
+                    jnp.asarray(self._up), jnp.asarray(self.yb_arr),
+                    jnp.asarray(self.xb_arr), self.distp, self.mesh,
+                    cap=c,
+                    cfl=self.config.optimize_chroma_from_luma,
+                    blocks=self.config.optimize_block_sizes,
+                    ysize=self.dim.ysize, xsize=self.dim.xsize,
+                )
+
+            return run_a
+
+        def run_a(c):
+            return analyze_image_packed(
+                jnp.asarray(self._up), jnp.asarray(self.yb_arr),
+                jnp.asarray(self.xb_arr),
+                cap=c,
+                cfl=self.config.optimize_chroma_from_luma,
+                blocks=self.config.optimize_block_sizes,
+                **self._kwargs,
+            )
+
+        return run_a
 
     def pack(self):
         """Sync program A's small outputs; build the entropy codes; dispatch
@@ -496,7 +529,7 @@ class DeviceEncodeJob:
         )
 
         if self._static:
-            g2 = 2 * (self.dim.num_groups + self.dim.num_dc_groups)
+            g2 = 2 * (self._gpad + self._gd_pad)
             totals = self._small_sync()[g2:]
             if int(totals.max(initial=0)) > self.cap:
                 self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
@@ -532,13 +565,20 @@ class DeviceEncodeJob:
 
         g = self.dim.num_groups
         gd = self.dim.num_dc_groups
-        self.wcap = min(1 << (int(g * self.ow)).bit_length(), 2 * 1024 * 1024)
+        # Per-shard compaction buffers in mesh mode (each shard packs only
+        # its slice of the group axis).
+        gs = self._gpad // self._n_shards if self.mesh is not None else g
+        gds = self._gd_pad // self._n_shards if self.mesh is not None else gd
+        self.wcap = min(1 << (int(gs * self.ow)).bit_length(), 2 * 1024 * 1024)
         self._wcap_dc = min(
-            1 << int(gd * self._ow_dc).bit_length(), 2 * 1024 * 1024
+            1 << int(gds * self._ow_dc).bit_length(), 2 * 1024 * 1024
         )
         compacts = dict(
             compact_ac=self._compact_ac, compact_dc=self._compact_dc
         )
+        if self.mesh is not None:
+            self._dispatch_b_mesh(compacts)
+            return
         if self._static:
             out = analyze_pack_static(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
@@ -564,6 +604,37 @@ class DeviceEncodeJob:
         self._small_np = None
         self._ac_list = None
 
+    def _dispatch_b_mesh(self, compacts):
+        from .parallel.sharding import (
+            analyze_pack_static_mesh,
+            pack_all_sections_mesh,
+        )
+        import jax.numpy as jnp
+
+        if self._static:
+            out = analyze_pack_static_mesh(
+                jnp.asarray(self._up), jnp.asarray(self.yb_arr),
+                jnp.asarray(self.xb_arr), self.distp, self._d_dev,
+                self._d_dc, self.mesh, cap=self.cap,
+                cfl=self.config.optimize_chroma_from_luma,
+                blocks=self.config.optimize_block_sizes,
+                ow_ac=self.ow, wcap_ac=self.wcap,
+                ow_dc=self._ow_dc, wcap_dc=self._wcap_dc,
+                ysize=self.dim.ysize, xsize=self.dim.xsize, **compacts,
+            )
+        else:
+            out = pack_all_sections_mesh(
+                self._stream, self._totals_d, self._d_dev,
+                self.out_a["dc_layout"], self._d_dc, self.mesh,
+                ow_ac=self.ow, ow_dc=self._ow_dc,
+                wcap_ac=self.wcap, wcap_dc=self._wcap_dc, **compacts,
+            )
+        self.out_b = dict(words=out["ac_words"])
+        self.out_dc = dict(words=out["dc_words"])
+        self.out_small = out["small"]
+        self._small_np = None
+        self._ac_list = None
+
     def _small_sync(self):
         """One D2H transfer for all small section metadata (bits + offsets
         for both section kinds, plus totals in the one-pass tier)."""
@@ -577,16 +648,28 @@ class DeviceEncodeJob:
         nblk = (bits + (32 * 128 - 1)) // (32 * 128)
         return int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
 
-    @staticmethod
-    def _download_writers(words_dev, bits, offs, wcap, n):
-        """Slice the compacted section buffer into per-section BitWriters."""
-        used = DeviceEncodeJob._used_words(bits, offs)
+    def _download_writers(self, words_dev, bits, offs, wcap, n, per_shard):
+        """Slice the compacted section buffer(s) into per-section
+        BitWriters. Mesh mode: words_dev is [n_shards, wcap] and offs are
+        shard-local; section k lives in shard k // per_shard."""
+        used = max(
+            self._used_words(
+                bits[s * per_shard : (s + 1) * per_shard],
+                offs[s * per_shard : (s + 1) * per_shard],
+            )
+            for s in range(self._n_shards)
+        )
         assert used <= wcap, "caller must fall back to uncompacted download"
         dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
-        words = np.asarray(words_dev[:dl])
+        if words_dev.ndim == 1:
+            words = np.asarray(words_dev[:dl])[None]
+        else:
+            words = np.asarray(words_dev[:, :dl])
         return [
             _writer_from_bits(
-                words[offs[k] : offs[k] + (bits[k] + 31) // 32].view(np.uint8),
+                words[k // per_shard][
+                    offs[k] : offs[k] + (bits[k] + 31) // 32
+                ].view(np.uint8),
                 int(bits[k]),
             )
             for k in range(n)
@@ -616,13 +699,16 @@ class DeviceEncodeJob:
 
         g = self.dim.num_groups
         gd = self.dim.num_dc_groups
+        gp, gdp = self._gpad, self._gd_pad
+        gps = gp // self._n_shards
+        gdps = gdp // self._n_shards
         margin = VAR_FAN + 1
         while True:
             small = self._small_sync()
-            ac_bits = small[:g]
-            ac_offs = small[g : 2 * g]
-            dc_bits = small[2 * g : 2 * g + gd]
-            dc_offs = small[2 * g + gd : 2 * g + 2 * gd]
+            ac_bits = small[:gp]
+            ac_offs = small[gp : 2 * gp]
+            dc_bits = small[2 * gp : 2 * gp + gdp]
+            dc_offs = small[2 * gp + gdp : 2 * gp + 2 * gdp]
             # Retry against the var-packer's real safe capacity (ow minus
             # the fan margin its entry clamp needs), not the raw ow — a
             # section landing inside the margin would pack corrupt words
@@ -645,18 +731,28 @@ class DeviceEncodeJob:
             # Total compacted words can exceed the VMEM-bounded wcap buffer
             # on very large images at low distance; switch that section kind
             # to the uncompacted per-group-row download (no capacity limit).
-            if self._compact_ac and self._used_words(ac_bits, ac_offs) > self.wcap:
+            # Mesh mode: the bound applies per shard-local buffer.
+            def _max_used(bits, offs, per):
+                return max(
+                    self._used_words(
+                        bits[s * per : (s + 1) * per],
+                        offs[s * per : (s + 1) * per],
+                    )
+                    for s in range(self._n_shards)
+                )
+
+            if self._compact_ac and _max_used(ac_bits, ac_offs, gps) > self.wcap:
                 self._compact_ac = False
                 self._dispatch_b()
                 continue
-            if self._compact_dc and self._used_words(dc_bits, dc_offs) > self._wcap_dc:
+            if self._compact_dc and _max_used(dc_bits, dc_offs, gdps) > self._wcap_dc:
                 self._compact_dc = False
                 self._dispatch_b()
                 continue
             break
         if self._compact_ac:
             self._ac_list = self._download_writers(
-                self.out_b["words"], ac_bits, ac_offs, self.wcap, g
+                self.out_b["words"], ac_bits, ac_offs, self.wcap, g, gps
             )
         else:
             self._ac_list = self._download_writers_rows(
@@ -664,7 +760,7 @@ class DeviceEncodeJob:
             )
         if self._compact_dc:
             self._dc_list = self._download_writers(
-                self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd
+                self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd, gdps
             )
         else:
             self._dc_list = self._download_writers_rows(
@@ -717,91 +813,26 @@ def encode_image_device_mesh(
     mesh=None,
     cap: int = 32768,
     ow: int = 8192,
+    upload_dtype=np.float16,
+    config=None,
 ) -> bytes:
-    """Multi-chip flagship encode: the group axis is sharded over `mesh`
-    (shard_map; pure data parallelism — groups are self-contained by format
-    design), the base-64 histograms are all-reduced as an integer psum, and
-    AC sections are entropy-packed per shard. DC sections assemble on the
-    host from the sharded per-group maps (one small gather). Output bytes
-    are identical to the single-device path for any mesh shape (tested)."""
-    import jax.numpy as jnp
-    from .parallel.sharding import (
-        analyze_groups_packed_sharded,
-        pack_ac_sections_sharded,
-        make_mesh,
-    )
-    from .ops.pipeline_jax import unpack_meta_u8
-    from .ops.pack_kernels import ac_base64_map
-    from .entropy.entropy_write import build_ac_device_code
+    """Multi-chip flagship encode at full single-chip parity: the same
+    DeviceEncodeJob orchestration (all capability tiers, u8/f16/f32 ingest,
+    cap/ow/wcap auto-retry) with both device programs run under shard_map —
+    the group axis sharded over `mesh`, the base-64 AC and DC histograms
+    all-reduced as integer psums, and both AC and DC sections entropy-packed
+    per shard on device (parallel.sharding; the reference's parallel-safe
+    loops are enc_frame.cc:536-570,714-715,837-838). Output bytes are
+    identical to the single-device path for any mesh shape (tested)."""
+    from .parallel.sharding import make_mesh
 
-    assert img.ndim == 3 and img.shape[0] == 3
-    distance = clamp_distance(distance)
-    distp = compute_distance_params(distance)
-    dim = ImageDim(img.shape[2], img.shape[1])
-    g = dim.num_groups
     if mesh is None:
         mesh = make_mesh()
-
-    groups, yb_arr, xb_arr = _extract_all_groups(img.astype(np.float32), dim)
-    out, _ = analyze_groups_packed_sharded(
-        groups, yb_arr, xb_arr, distp, mesh, cap=cap
+    job = DeviceEncodeJob(
+        img, distance, upload_dtype, cap, ow, config=config, mesh=mesh
     )
-    totals = np.asarray(out["totals"])[:g]
-    if int(totals.max(initial=0)) > cap:
-        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
-        out, _ = analyze_groups_packed_sharded(
-            groups, yb_arr, xb_arr, distp, mesh, cap=cap
-        )
-    hist = np.asarray(out["hist"])
-    meta = unpack_meta_u8(np.asarray(out["meta"])[:g])
-    full_code, d_table = build_ac_device_code(hist, ac_base64_map())
-
-    packed = pack_ac_sections_sharded(
-        out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
-    )
-    from .ops.pack_kernels import VAR_FAN, var_safe_words
-
-    bits = np.asarray(packed["bits"])
-    # var_safe_words check: see DeviceEncodeJob._fetch_sections.
-    need = (int(bits[:g].max(initial=0)) + 31) // 32
-    if need > var_safe_words(ow):
-        ow = _next_bucket((8192, 32768, 131072), need + VAR_FAN + 1)
-        packed = pack_ac_sections_sharded(
-            out["stream"][:, :cap], out["totals"], d_table, mesh, ow=ow
-        )
-        bits = np.asarray(packed["bits"])
-    offs = np.asarray(packed["word_offs"])
-    words = np.asarray(packed["words"])  # [n_dev, wcap_shard]
-    n_dev = words.shape[0]
-    per_shard = (len(bits)) // n_dev
-    ac_writers = []
-    for k in range(g):
-        shard, local = divmod(k, per_shard)
-        row = words[shard]
-        nw = (int(bits[k]) + 31) // 32
-        ac_writers.append(
-            _writer_from_bits(
-                row[offs[k] : offs[k] + nw].view(np.uint8), int(bits[k])
-            )
-        )
-
-    groups_d = {}
-    i = 0
-    for gy in range(dim.ysize_groups):
-        for gx in range(dim.xsize_groups):
-            yb, xb = int(yb_arr[i]), int(xb_arr[i])
-            ty, tx = div_ceil(yb, 8), div_ceil(xb, 8)
-            gr = GroupResult(
-                None, meta["strategy"][i], meta["is_first"][i],
-                meta["raw_qf"][i], meta["ytox"][i, :ty, :tx],
-                meta["ytob"][i, :ty, :tx], yb, xb,
-            )
-            gr.quant_dc = meta["quant_dc"][i][:, :yb, :xb]
-            groups_d[(gy, gx)] = gr
-            i += 1
-    return assemble_codestream(
-        groups_d, dim, distp, ac_writers=ac_writers, ac_code=full_code
-    )
+    job.pack()
+    return job.result()
 
 
 def encode_batch_device(

@@ -497,6 +497,150 @@ def _scatter_covered(values, strat, is_first):
     return out
 
 
+def _encode_middle(
+    coef8, coef_v, coef_h, strategy, is_first, raw_qf, ytox, ytob,
+    scale, scale_dc, x_qm_mul, first,
+):
+    """Fused quantize kernel (kernel F) + the cheap neighbor-dependent
+    context math on [G,3,32,32] maps — the shared front of both device
+    tokenization paths (tokenize_cells and the fused tokenize_compact)."""
+    from .pack_kernels import base64_nz
+    from .quantize_kernel import quantize_cells
+
+    fac_x = (
+        jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2)
+        * C.INV_COLOR_FACTOR
+    )
+    fac_b = 1.0 + jnp.repeat(
+        jnp.repeat(ytob.astype(F32), 8, 1), 8, 2
+    ) * C.INV_COLOR_FACTOR
+    ordered, nzeros_total, qdcp, lastnz = quantize_cells(
+        coef8, coef_v, coef_h, strategy, raw_qf, fac_x, fac_b,
+        scale, scale_dc, x_qm_mul,
+    )
+    quant_dc = jnp.stack(
+        [
+            _scatter_covered(
+                qdcp[:, c].transpose(0, 2, 3, 1), strategy, is_first
+            )
+            for c in range(3)
+        ],
+        axis=1,
+    )  # [G,3,32,32]
+    covered = jnp.where(strategy == C.DCT8, 1, 2)
+    shifted_nz = -(-nzeros_total // jnp.maximum(covered[:, None], 1))
+    nz_map = jnp.stack(
+        [
+            _scatter_covered(
+                jnp.stack([shifted_nz[:, c]] * 2, -1), strategy, is_first
+            )
+            for c in range(3)
+        ],
+        axis=1,
+    )  # [G,3,32,32]
+    top = _shift0(nz_map, -1, -2)
+    left = _shift0(nz_map, -1, -1)
+    by_i = jnp.arange(32)[:, None]
+    bx_i = jnp.arange(32)[None, :]
+    pred = jnp.where(
+        (by_i == 0) & (bx_i == 0),
+        32,
+        jnp.where(
+            by_i == 0,
+            left,
+            jnp.where(bx_i == 0, top, (top + left + 1) // 2),
+        ),
+    )
+    bct = _BLOCK_CTX_TAB
+    block_ctx = _sel_by_strategy(
+        strategy,
+        jnp.asarray(bct[C.DCT8])[None, :, None, None, None],
+        jnp.asarray(bct[C.DCT16X8])[None, :, None, None, None],
+        jnp.asarray(bct[C.DCT8X16])[None, :, None, None, None],
+    )[..., 0]  # [G,3,32,32]
+    nz_bucket = jnp.where(
+        pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2)
+    )
+    nzero_ctx = base64_nz(nz_bucket, block_ctx)
+    shp = nzeros_total.shape
+    size_b = jnp.broadcast_to((covered * 64)[:, None], shp)
+    prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
+    return dict(
+        ordered=ordered,
+        nzeros_total=nzeros_total,
+        lastnz=lastnz,
+        covered=covered,
+        block_ctx=block_ctx,
+        nzero_ctx=nzero_ctx,
+        prev_init=prev_init,
+        quant_dc=quant_dc,
+        nz_map=nz_map,
+    )
+
+
+_EMIT_CHAN = np.array([1, 0, 2])  # emission channel order Y, X, B
+
+
+def encode_groups_stream(
+    coef8,
+    coef_v,
+    coef_h,
+    strategy,
+    is_first,
+    raw_qf,
+    ytox,
+    ytob,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    valid,
+    cap,
+):
+    """Flagship tokenization: kernel F + context middle + the fused
+    tokenize/merge/compact kernel (tokenize_kernel.tokenize_compact).
+
+    Returns (stream [G, cap+128] u32, totals [G] i32, quant_dc
+    [G,3,32,32] i32) — the stream bit-identical to the separate-stage
+    encode_groups(base_ctx=True) + rows_from_tokens + compact_stream."""
+    from .tokenize_kernel import pack_row_meta, tokenize_compact
+
+    g = coef8.shape[0]
+    first = is_first & valid
+    m = _encode_middle(
+        coef8, coef_v, coef_h, strategy, is_first, raw_qf, ytox, ytob,
+        scale, scale_dc, x_qm_mul, first,
+    )
+    shp = m["nzeros_total"].shape
+    covered_b = jnp.broadcast_to(m["covered"][:, None], shp)
+    first_b = jnp.broadcast_to(first[:, None], shp)
+    meta_cell = pack_row_meta(
+        covered_b,
+        m["nzeros_total"],
+        m["block_ctx"],
+        m["nzero_ctx"],
+        m["prev_init"],
+        first_b,
+    )
+    # Token count per cell is known before tokenization: 1 nzeros token +
+    # one token per zig-zag position up to the last nonzero (slot of
+    # position k is k - covered + 1).
+    cnt_cell = jnp.where(
+        first_b,
+        jnp.where(
+            m["nzeros_total"] > 0, m["lastnz"] - covered_b + 2, 1
+        ),
+        0,
+    )
+    chan = jnp.asarray(_EMIT_CHAN)
+    ordered_em = (
+        m["ordered"][:, chan].transpose(0, 2, 3, 1, 4).reshape(g, -1, 128)
+    )
+    meta_em = meta_cell[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
+    cnt_em = cnt_cell[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
+    stream, totals = tokenize_compact(ordered_em, meta_em, cnt_em, cap)
+    return stream, totals, m["quant_dc"]
+
+
 def encode_groups(
     xyb,
     coef8,
@@ -531,78 +675,23 @@ def encode_groups(
         # (ops/quantize_kernel) and the per-coefficient tokenization tail
         # another (ops/tokenize_kernel); only the cheap neighbor-dependent
         # context math on [G,3,32,32] maps stays in jnp between them.
-        from .pack_kernels import base64_nz
-        from .quantize_kernel import quantize_cells
         from .tokenize_kernel import tokenize_cells
 
-        fac_x = (
-            jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2)
-            * C.INV_COLOR_FACTOR
+        m = _encode_middle(
+            coef8, coef_v, coef_h, strategy, is_first, raw_qf, ytox, ytob,
+            scale, scale_dc, x_qm_mul, first,
         )
-        fac_b = 1.0 + jnp.repeat(
-            jnp.repeat(ytob.astype(F32), 8, 1), 8, 2
-        ) * C.INV_COLOR_FACTOR
-        ordered, nzeros_total, qdcp = quantize_cells(
-            coef8, coef_v, coef_h, strategy, raw_qf, fac_x, fac_b,
-            scale, scale_dc, x_qm_mul,
-        )
-        quant_dc = jnp.stack(
-            [
-                _scatter_covered(
-                    qdcp[:, c].transpose(0, 2, 3, 1), strategy, is_first
-                )
-                for c in range(3)
-            ],
-            axis=1,
-        )  # [G,3,32,32]
-        covered = jnp.where(strategy == C.DCT8, 1, 2)
-        shifted_nz = -(-nzeros_total // jnp.maximum(covered[:, None], 1))
-        nz_map = jnp.stack(
-            [
-                _scatter_covered(
-                    jnp.stack([shifted_nz[:, c]] * 2, -1), strategy, is_first
-                )
-                for c in range(3)
-            ],
-            axis=1,
-        )  # [G,3,32,32]
-        top = _shift0(nz_map, -1, -2)
-        left = _shift0(nz_map, -1, -1)
-        by_i = jnp.arange(32)[:, None]
-        bx_i = jnp.arange(32)[None, :]
-        pred = jnp.where(
-            (by_i == 0) & (bx_i == 0),
-            32,
-            jnp.where(
-                by_i == 0,
-                left,
-                jnp.where(bx_i == 0, top, (top + left + 1) // 2),
-            ),
-        )
-        bct = _BLOCK_CTX_TAB
-        block_ctx = _sel_by_strategy(
-            strategy,
-            jnp.asarray(bct[C.DCT8])[None, :, None, None, None],
-            jnp.asarray(bct[C.DCT16X8])[None, :, None, None, None],
-            jnp.asarray(bct[C.DCT8X16])[None, :, None, None, None],
-        )[..., 0]  # [G,3,32,32]
-        nz_bucket = jnp.where(
-            pred < 8, pred, jnp.where(pred >= 64, 36, 4 + pred // 2)
-        )
-        nzero_ctx = base64_nz(nz_bucket, block_ctx)
-        shp = nzeros_total.shape
-        size_b = jnp.broadcast_to((covered * 64)[:, None], shp)
-        prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
+        shp = m["nzeros_total"].shape
         tokens_full, count_full = tokenize_cells(
-            ordered,
-            jnp.broadcast_to(covered[:, None], shp),
-            nzeros_total,
-            block_ctx,
-            nzero_ctx,
-            prev_init,
+            m["ordered"],
+            jnp.broadcast_to(m["covered"][:, None], shp),
+            m["nzeros_total"],
+            m["block_ctx"],
+            m["nzero_ctx"],
+            m["prev_init"],
             jnp.broadcast_to(first[:, None], shp),
         )
-        return tokens_full, count_full, quant_dc, nz_map
+        return tokens_full, count_full, m["quant_dc"], m["nz_map"]
 
     coef8p = jnp.concatenate(
         [coef8.reshape(g, 3, 32, 32, 64), jnp.zeros((g, 3, 32, 32, 64), F32)], -1
@@ -1186,7 +1275,7 @@ def analyze_groups_packed(
     data parallel throughout — the unit parallel.sharding shard_maps over a
     device mesh (the group axis is the codec's only distribution dimension,
     enc_frame.cc:714-715,837-838)."""
-    from .pack_kernels import compact_stream, hist_base64, rows_from_tokens
+    from .pack_kernels import hist_base64
 
     g = groups.shape[0]
     groups = groups.astype(F32)
@@ -1214,8 +1303,7 @@ def analyze_groups_packed(
         is_first = jnp.ones((g, 32, 32), bool)
         coef_v = jnp.zeros((g, 3, 16, 32, 128), F32)
         coef_h = jnp.zeros((g, 3, 32, 16, 128), F32)
-    tokens_full, count_full, quant_dc, _ = encode_groups(
-        xyb,
+    stream, totals, quant_dc = encode_groups_stream(
         coef8,
         coef_v,
         coef_h,
@@ -1228,10 +1316,8 @@ def analyze_groups_packed(
         scale_dc,
         x_qm_mul,
         valid,
-        base_ctx=True,
+        cap,
     )
-    rows_tok, rows_cnt = rows_from_tokens(tokens_full, count_full)
-    stream, totals = compact_stream(rows_tok, rows_cnt, cap)
     hist = hist_base64(stream[:, :cap], jnp.minimum(totals, cap))
     meta = _pack_meta_u8(quant_dc, raw_qf, strategy, is_first, ytox, ytob)
     out = dict(stream=stream, totals=totals, hist=hist, meta=meta)

@@ -35,7 +35,7 @@ F32 = np.float32
 def _quant_kernel(
     c8_ref, cv_ref, chh_ref, st_ref, qf_ref, fx_ref, fb_ref,
     qm_ref, dqm_ref, thr_ref, p8_ref, p16_ref,
-    ord_ref, nz_ref, qdc_ref, *, scale, scale_dc, x_qm_mul,
+    ord_ref, nz_ref, qdc_ref, ln_ref, *, scale, scale_dc, x_qm_mul,
 ):
     s = st_ref[0]  # [8,32] i32
     quant = qf_ref[0].astype(jnp.float32)
@@ -137,7 +137,12 @@ def _quant_kernel(
         ).reshape(8, 32, 128)
         od = jnp.where(c2l, o16, o8).astype(jnp.int32)
         ord_ref[0, ci] = od
-        nz_ref[0, ci] = ((od != 0) & in_range).sum(axis=-1)
+        nzm = (od != 0) & in_range
+        nz_ref[0, ci] = nzm.sum(axis=-1)
+        # Highest zig-zag position holding a nonzero (0 when none): with
+        # `covered` this determines the cell's token count up front, so the
+        # fused tokenize+compact kernel can precompute stream positions.
+        ln_ref[0, ci] = jnp.max(jnp.where(nzm, lanes, 0), axis=-1)
 
 
 def quantize_cells(
@@ -149,13 +154,14 @@ def quantize_cells(
 
     Returns (ordered [G,3,32,32,128] i32 zig-zag quantized coefficients,
     nzeros_total [G,3,32,32] i32, qdc [G,3,2,32,32] i32 per-first-cell DC
-    pairs, channel order X,Y,B)."""
+    pairs, channel order X,Y,B, last_nz [G,3,32,32] i32 highest nonzero
+    zig-zag position)."""
     g = coef8.shape[0]
     kern = functools.partial(
         _quant_kernel, scale=float(scale), scale_dc=float(scale_dc),
         x_qm_mul=float(x_qm_mul),
     )
-    ordered, nz, qdc = pl.pallas_call(
+    ordered, nz, qdc, lastnz = pl.pallas_call(
         kern,
         grid=(g, 4),
         in_specs=[
@@ -176,11 +182,13 @@ def quantize_cells(
             pl.BlockSpec((1, 3, 8, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
             pl.BlockSpec((1, 3, 8, 32), lambda i, y: (i, 0, y, 0)),
             pl.BlockSpec((1, 3, 2, 8, 32), lambda i, y: (i, 0, 0, y, 0)),
+            pl.BlockSpec((1, 3, 8, 32), lambda i, y: (i, 0, y, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, 3, 32, 32, 128), jnp.int32),
             jax.ShapeDtypeStruct((g, 3, 32, 32), jnp.int32),
             jax.ShapeDtypeStruct((g, 3, 2, 32, 32), jnp.int32),
+            jax.ShapeDtypeStruct((g, 3, 32, 32), jnp.int32),
         ],
         interpret=_interpret(),
     )(
@@ -197,4 +205,4 @@ def quantize_cells(
         jnp.asarray(_ZZ_P8),
         jnp.asarray(_ZZ_P16),
     )
-    return ordered, nz, qdc
+    return ordered, nz, qdc, lastnz

@@ -1,22 +1,34 @@
-"""Fused per-coefficient tokenization as one Pallas TPU kernel.
+"""Fused per-coefficient tokenization as Pallas TPU kernels.
 
-The tail of pipeline_jax.encode_groups (everything after the zig-zag
-reorder: prefix nonzero counts, zero-density contexts, validity, token
-packing) is ~a dozen XLA passes over the 212 MB [G,3,32,32,128] lane
-arrays. All of it is lane-local within a cell's 128-coefficient row, so a
-single Pallas kernel does it in one read + one write:
+Two kernels share one tokenization core (`_tokenize_block`):
 
-  - per-row scalars (covered, nzeros, contexts, flags) ride in lane 0 of
-    the input, which tokenization never reads (in_range starts at lane
-    `covered` >= 1); a lane-max broadcast recovers them per row
+`tokenize_cells` — the tail of pipeline_jax.encode_groups (everything after
+the zig-zag reorder: prefix nonzero counts, zero-density contexts, validity,
+token packing) in one read + one write. Semantics mirror
+enc_group.cc:448-493 tokenization exactly (through the jnp twin in
+pipeline_jax; tested bit-equal). base-64 contexts only.
+
+`tokenize_compact` — the flagship fusion: tokenize + log-merge + stream
+compaction in ONE kernel per group. The separate-stage path materialized
+the fat [G,3,32,32,128] token array three times (tokenize write, emission
+reorder, merge levels) before the compact kernel's scalar OR-placement
+loop; here tokens live in a VMEM scratch from birth to placement and only
+the compact per-group stream is written to HBM. The merge *decisions*
+depend only on per-row token counts, which are known before tokenization
+(kernel F's last_nz output), so the merge plan (which adjacent rows fuse
+at each level, the final visit list, stream positions) is precomputed with
+cheap jnp on [G, 3072] arrays and the kernel only executes data movement.
+
+  - per-row scalars (covered, nzeros, contexts, flags) ride in a separate
+    [rows/128, 128] meta input, broadcast per row via a minor-dim insert
   - the inclusive prefix count of nonzeros is one [R,128]x[128,128]
     triangular matmul on the MXU (counts <= 128 exact)
   - neighbor lanes (prev-nonzero, the covered=2 slot shift) are cyclic
     pltpu.roll's with edge masks
-
-Semantics mirror enc_group.cc:448-493 tokenization exactly (through the
-jnp twin in pipeline_jax; tested bit-equal). base-64 contexts only (the
-flagship device path).
+  - merge level L ORs row i+2^L into row i (rows i = multiples of 2^(L+1))
+    where both fit in 128 lanes; the variable lane shift by the head's
+    count is 7 conditional rolls; sublane-offset reads go through aligned
+    loads + a sublane roll (Mosaic dislikes unaligned sublane slices)
 """
 import functools
 
@@ -29,13 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .pipeline_jax import _NNZ_THRESH, _NNZ_DELTA, _FREQ_TAB
 from .pack_kernels import _interpret
 
-R = 1024  # rows per grid step
+R = 1024  # rows per grid step (tokenize_cells)
+W = 128  # token capacity per emission row
 
 _TRI_INCL = np.tril(np.ones((128, 128), np.float32)).T  # [k,j]=1 iff k<=j
 
 
 def pack_row_meta(covered, nzeros_total, block_ctx, nzero_ctx, prev_init, first):
-    """Per-cell scalars -> one i32 word (rides in lane 0 of the row)."""
+    """Per-cell scalars -> one i32 word."""
     return (
         ((covered - 1) & 1)
         | (nzeros_total << 1)
@@ -46,13 +59,13 @@ def pack_row_meta(covered, nzeros_total, block_ctx, nzero_ctx, prev_init, first)
     )
 
 
-def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
-    # Rows processed as [8,128,128]: the block's 1024 per-row meta words
-    # arrive as a separate [8,128] input (no 212 MB lane-0 embed pass),
-    # broadcast over lanes via a minor-dim insert.
-    x = x_ref[...].reshape(8, 128, 128)
-    meta = meta_ref[...][:, :, None]  # [8,128,1] i32
-    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+def _tokenize_block(x, meta, tri, freq):
+    """Shared tokenization core. x: [n,128,128] i32 zig-zag coefficients;
+    meta: [n,128,1] i32 packed per-row scalars; tri: [128,128] f32;
+    freq: [2,128] i32. Returns tokens [n,128,128] u32 (lane 0 = nzeros
+    token, lanes >= 1 = coefficient tokens)."""
+    n = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 128, 128), 2)
     lane0 = lane == 0
     covered = (meta & 1) + 1
     nztot = (meta >> 1) & 127
@@ -66,11 +79,11 @@ def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
     nonzero = (x != 0) & in_range
     nzv = nonzero.astype(jnp.int32)
     cum = jax.lax.dot_general(
-        nonzero.astype(jnp.float32).reshape(1024, 128),
-        tri_ref[...],
+        nonzero.astype(jnp.float32).reshape(n * 128, 128),
+        tri,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(jnp.int32).reshape(8, 128, 128)
+    ).astype(jnp.int32).reshape(n, 128, 128)
     nz_left = nztot - cum + nzv
     prev_nz = jnp.where(lane0, 0, pltpu.roll(nzv, 1, axis=2))
     prev = jnp.where(lane == covered, prev_init, prev_nz)
@@ -79,8 +92,8 @@ def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
     nnz_part = jnp.zeros_like(x)
     for t, d in zip(_NNZ_THRESH.tolist(), _NNZ_DELTA.tolist()):
         nnz_part = nnz_part + jnp.where(nzl_shift >= t, d, 0)
-    freq = jnp.where(cov2, freq_ref[1][None, None, :], freq_ref[0][None, None, :])
-    q = jnp.minimum(nnz_part + freq, 5)
+    freq_sel = jnp.where(cov2, freq[1][None, None, :], freq[0][None, None, :])
+    q = jnp.minimum(nnz_part + freq_sel, 5)
     coeff_ctx = 16 + block_ctx * 12 + q * 2 + prev  # base64_zd
     tok_valid = in_range & (nz_left > 0) & (first > 0)
     coeff_val = jnp.where(x >= 0, 2 * x, -2 * x - 1)  # pack_signed
@@ -94,7 +107,13 @@ def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
     valid_g = shsel(tok_valid.astype(jnp.int32)) * (~lane0)
     packed = jnp.where(valid_g > 0, (ctx_g << 16) | val_g, 0)
     nz_token = (nzero_ctx << 16) | nztot
-    out = jnp.where(lane0, nz_token, packed).astype(jnp.uint32)
+    return jnp.where(lane0, nz_token, packed).astype(jnp.uint32)
+
+
+def _tok_kernel(x_ref, meta_ref, tri_ref, freq_ref, o_ref):
+    x = x_ref[...].reshape(8, 128, 128)
+    meta = meta_ref[...][:, :, None]  # [8,128,1] i32
+    out = _tokenize_block(x, meta, tri_ref[...], freq_ref[...])
     o_ref[...] = out.reshape(1024, 128)
 
 
@@ -143,3 +162,174 @@ def tokenize_cells(
     )
     count = jnp.where(first, 1 + last_valid, 0)
     return tokens, count
+
+
+# ---------------------------------------------------------------------------
+# Fused tokenize + merge + compact (T2)
+# ---------------------------------------------------------------------------
+
+MERGE_LEVELS = 6
+CHUNK = 512  # rows tokenized/merged per in-kernel step
+PAD_ROWS = 64  # scratch/plan row padding (>= max merge stride 2^(L-1))
+_M30 = (1 << 30) - 1
+
+
+def merge_plan(rows_cnt, levels=MERGE_LEVELS):
+    """Simulate the in-kernel log-merge on token counts only.
+
+    rows_cnt: [G, R] i32 per-emission-row token counts. Level L merges row
+    i+2^L into row i (for i a multiple of 2^(L+1)) when the head holds all
+    tokens of its span (`full`), the tail is non-empty, and the union fits
+    in W lanes — the same adjacency rule as pack_kernels.merge_rows, so the
+    compacted stream is bit-identical to the separate-stage path.
+
+    Returns (plan [G, levels, R] i32 = cnt_at_level | do<<30,
+    starts [G, R], cnt_final [G, R], order [G, R], nb [G], totals [G])."""
+    g, nrows = rows_cnt.shape
+    idx = jnp.arange(nrows)
+    cnt = rows_cnt.astype(jnp.int32)
+    ends = jnp.cumsum(cnt, axis=1)
+    totals = ends[:, -1].astype(jnp.int32)
+    starts = (ends - cnt).astype(jnp.int32)
+    full = jnp.ones((g, nrows), bool)
+    planes = []
+    for lvl in range(levels):
+        s = 1 << lvl
+        active = (idx % (2 * s)) == 0
+        c0 = cnt
+        c1 = jnp.roll(cnt, -s, axis=1)
+        f1 = jnp.roll(full, -s, axis=1)
+        do = (
+            active[None]
+            & full
+            & (c1 > 0)
+            & (c0 + c1 <= W)
+            & (idx[None] + s < nrows)
+        )
+        planes.append(c0 | (do.astype(jnp.int32) << 30))
+        cnt = jnp.where(do, c0 + c1, cnt)
+        cnt = jnp.where(jnp.roll(do, s, axis=1) & (idx[None] >= s), 0, cnt)
+        full = jnp.where(active[None], full & f1 & (do | (c1 == 0)), full)
+    plan = jnp.stack(planes, axis=1)
+    order = jnp.argsort(cnt == 0, axis=1, stable=True).astype(jnp.int32)
+    nb = (cnt > 0).sum(axis=1).astype(jnp.int32)
+    return plan, starts, cnt, order, nb, totals
+
+
+def _tok_compact_kernel(
+    smeta_ref, plan_ref, meta_ref, x_ref, tri_ref, freq_ref, out_ref,
+    scr_ref, *, cap, levels, rows
+):
+    nchunk = rows // CHUNK
+    tri = tri_ref[...]
+    freq = freq_ref[...]
+
+    # Phase 1: tokenize into scratch, chunk by chunk.
+    for c in range(nchunk):
+        x = x_ref[0, c * CHUNK : (c + 1) * CHUNK, :].reshape(
+            CHUNK // 128, 128, 128
+        )
+        meta = meta_ref[0, c * (CHUNK // 128) : (c + 1) * (CHUNK // 128), :][
+            :, :, None
+        ]
+        scr_ref[c * CHUNK : (c + 1) * CHUNK, :] = _tokenize_block(
+            x, meta, tri, freq
+        ).reshape(CHUNK, 128)
+
+    # Phase 2: log-merge in scratch. Sublane-offset reads (row i+s) are an
+    # aligned 2-block load + sublane roll.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    for lvl in range(levels):
+        s = 1 << lvl
+        plane = plan_ref[0, lvl]  # [rows + PAD_ROWS, 1] i32
+        c1_all = pltpu.roll(plane, (rows + PAD_ROWS) - s, axis=0) & _M30
+        for c in range(nchunk):
+            r0 = c * CHUNK
+            cur = scr_ref[r0 : r0 + CHUNK, :]
+            nxt = scr_ref[r0 + CHUNK : r0 + CHUNK + PAD_ROWS, :]
+            ext = jnp.concatenate([cur, nxt], axis=0)
+            tail = pltpu.roll(ext, (CHUNK + PAD_ROWS) - s, axis=0)[:CHUNK, :]
+            pc = plane[r0 : r0 + CHUNK]
+            c0 = pc & _M30
+            do = pc >> 30
+            c1 = c1_all[r0 : r0 + CHUNK]
+            sft = tail
+            for b in range(7):
+                rolled = pltpu.roll(sft, 1 << b, axis=1)
+                sft = jnp.where(((c0 >> b) & 1) > 0, rolled, sft)
+            hm = jnp.where(lanes < c0, cur, jnp.uint32(0))
+            sm = jnp.where(
+                (lanes >= c0) & (lanes < c0 + c1), sft, jnp.uint32(0)
+            )
+            scr_ref[r0 : r0 + CHUNK, :] = jnp.where(do > 0, hm | sm, cur)
+
+    # Phase 3: scalar OR-placement of the merged rows into the stream.
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lanes2 = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+    nb = smeta_ref[0, 3, 0]
+
+    def body(i, _):
+        r = smeta_ref[0, 2, i]  # nonempty merged rows, front-sorted
+        st = smeta_ref[0, 0, r]
+        ct = smeta_ref[0, 1, r]
+        a = st & (W - 1)
+        w0 = jnp.minimum((st >> 7) * W, cap - W)
+        w0 = pl.multiple_of(w0, W)
+        row = scr_ref[pl.ds(r, 1), :]
+        ext = jnp.concatenate([row, jnp.zeros((1, W), jnp.uint32)], axis=1)
+        rot = pltpu.roll(ext, a, axis=1)
+        contrib = jnp.where(
+            (lanes2 >= a) & (lanes2 < a + ct), rot, jnp.uint32(0)
+        )
+        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0)
+
+
+def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
+    """ordered_em: [G, rows, 128] i32 zig-zag coefficients in emission-row
+    order; meta_em: [G, rows] i32 packed per-row meta (pack_row_meta);
+    cnt_em: [G, rows] i32 per-row token counts (from kernel F's last_nz).
+
+    Returns (stream [G, cap + 128] u32, totals [G] i32) — bit-identical to
+    tokenize_cells + rows_from_tokens + compact_stream, in one kernel."""
+    g, rows, _ = ordered_em.shape
+    assert rows % CHUNK == 0 and rows % 128 == 0
+    plan, starts, cntf, order, nb, totals = merge_plan(cnt_em, levels)
+    plan_p = jnp.pad(plan, ((0, 0), (0, 0), (0, PAD_ROWS)))[..., None]
+    meta2d = meta_em.astype(jnp.int32).reshape(g, rows // 128, 128)
+    smeta = jnp.stack(
+        [starts, cntf, order, jnp.broadcast_to(nb[:, None], (g, rows))], axis=1
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _tok_compact_kernel, cap=cap, levels=levels, rows=rows
+        ),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 4, rows), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec((1, levels, rows + PAD_ROWS, 1), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, rows // 128, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec((128, 128), lambda i: (0, 0)),
+            pl.BlockSpec((2, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cap + W), lambda i: (i, 0, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((rows + PAD_ROWS, 128), jnp.uint32)],
+        interpret=_interpret(),
+    )(
+        smeta,
+        plan_p,
+        meta2d,
+        ordered_em.astype(jnp.int32),
+        jnp.asarray(_TRI_INCL),
+        jnp.asarray(_FREQ_TAB),
+    )
+    return out[:, 0], totals

@@ -116,6 +116,255 @@ def analyze_groups_packed_sharded(
     return jax.jit(f)(gshard, ybs, xbs), g
 
 
+def _get_shard_map():
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map
+
+
+def _pad_to(n, m):
+    return -(-n // m) * m
+
+
+def _mesh_geometry(ysize, xsize, gpad, n):
+    """Static group-grid geometry for the image-level mesh programs."""
+    from ..common import div_ceil
+
+    g_img = div_ceil(ysize, 256) * div_ceil(xsize, 256)
+    assert gpad % n == 0 and gpad >= g_img
+    gd_img = div_ceil(ysize, 2048) * div_ceil(xsize, 2048)
+    gd_pad = _pad_to(gd_img, n)
+    return g_img, gpad // n, gd_img, gd_pad, gd_pad // n
+
+
+def _analysis_shard_body(
+    img, yb_l, xb_l, distp, cap, cfl, blocks, ysize, xsize,
+    g_img, gpad, gps, gd_img, gd_pad, gd_ps,
+):
+    """Per-shard body of image-level program A: device tiling of the
+    replicated image (u8 / byte-plane f16 / f32 ingest — the same
+    extract_groups_device as single-chip), this shard's slice of the group
+    axis through the full analysis + fused compaction, and this shard's
+    slice of the device DC-section layout. The per-group maps are
+    all-gathered (a few MB) so every shard can build the DC-group layout —
+    DC groups span 8x8 AC groups (enc_frame.cc:536-570), the one place the
+    group-major sharding needs cross-shard data.
+
+    Returns (out dict with stream/totals/hist/meta, my_dc [gd_ps, DC_CAP])."""
+    from ..ops.pipeline_jax import analyze_groups_packed, dc_layout_from_maps
+    from ..ops import dc_kernels as DK
+
+    groups_all = extract_groups_device(img)
+    if gpad > g_img:
+        groups_all = jnp.pad(
+            groups_all, ((0, gpad - g_img), (0, 0), (0, 0), (0, 0))
+        )
+    i = jax.lax.axis_index("g")
+    my = jax.lax.dynamic_slice_in_dim(groups_all, i * gps, gps, 0)
+    out = analyze_groups_packed(
+        my, yb_l, xb_l,
+        distance=float(distp.distance),
+        inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale),
+        scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+        cap=cap, cfl=cfl, blocks=blocks, return_maps=True,
+    )
+    maps = out.pop("_maps")
+    full = [jax.lax.all_gather(m, "g", axis=0, tiled=True)[:g_img] for m in maps]
+    dc_layout, _ = dc_layout_from_maps(
+        *full, ysize=ysize, xsize=xsize, with_hist=False
+    )
+    if gd_pad > gd_img:
+        dc_layout = jnp.pad(
+            dc_layout, ((0, gd_pad - gd_img), (0, 0)),
+            constant_values=np.uint32(DK.PAD) << 16,
+        )
+    my_dc = jax.lax.dynamic_slice_in_dim(dc_layout, i * gd_ps, gd_ps, 0)
+    return out, my_dc
+
+
+def analyze_image_packed_mesh(
+    image, yb_pad, xb_pad, distp, mesh: Mesh, cap, cfl=True, blocks=True,
+    ysize=None, xsize=None,
+):
+    """Flagship program A under shard_map, at full single-chip parity:
+    device tiling, per-shard analysis + fused compaction, integer-psum AC
+    and DC histograms, and per-shard device DC-section layouts.
+
+    image: [3,H,W] or [2,3,H,W]; yb_pad/xb_pad: [Gpad] valid block dims
+    padded to a mesh multiple (zeros => empty groups).
+    Returns dict(stream [Gpad,cap+128] P('g'), totals [Gpad] P('g'),
+    hists [2,64,64] replicated, dc_layout [Gd_pad, DC_CAP] P('g'),
+    meta [Gpad, META] P('g'))."""
+    from ..ops import dc_kernels as DK
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    gpad = yb_pad.shape[0]
+    g_img, gps, gd_img, gd_pad, gd_ps = _mesh_geometry(ysize, xsize, gpad, n)
+
+    def shard_fn(img, yb_l, xb_l):
+        out, my_dc = _analysis_shard_body(
+            img, yb_l, xb_l, distp, cap, cfl, blocks, ysize, xsize,
+            g_img, gpad, gps, gd_img, gd_pad, gd_ps,
+        )
+        achist = jax.lax.psum(out.pop("hist").astype(jnp.int32), "g")
+        dchist = jax.lax.psum(DK.dc_hist(my_dc).astype(jnp.int32), "g")
+        out["hists"] = jnp.stack([achist, dchist]).astype(jnp.uint32)
+        out["dc_layout"] = my_dc
+        return out
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("g"), P("g")),
+        out_specs=dict(
+            stream=P("g"), totals=P("g"), hists=P(), dc_layout=P("g"),
+            meta=P("g"),
+        ),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+    shg = NamedSharding(mesh, P("g"))
+    return jax.jit(f)(
+        jax.device_put(image, rep),
+        jax.device_put(yb_pad, shg),
+        jax.device_put(xb_pad, shg),
+    )
+
+
+def analyze_pack_static_mesh(
+    image, yb_pad, xb_pad, distp, d_ac, d_dc, mesh: Mesh, cap,
+    cfl, blocks, ow_ac, wcap_ac, ow_dc, wcap_dc,
+    compact_ac=True, compact_dc=True, ysize=None, xsize=None,
+):
+    """One-pass static tier under shard_map: the whole encode (analysis +
+    AC/DC section packing with static code tables) in a single sharded
+    device program — no histogram all-reduce, no second dispatch; the mesh
+    twin of dc_kernels.analyze_pack_static (OPTIMIZE_CODE=0,
+    static_entropy_codes.h role).
+
+    Returns dict(ac_words [n,wcap_ac] / dc_words [n,wcap_dc] (or [Gpad,ow]
+    rows when uncompacted), small = [ac_bits, ac_offs(shard-local),
+    dc_bits, dc_offs(shard-local), totals] concatenated)."""
+    from ..ops.pack_kernels import _pack_ac_impl
+    from ..ops.dc_kernels import _pack_dc_impl
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    gpad = yb_pad.shape[0]
+    g_img, gps, gd_img, gd_pad, gd_ps = _mesh_geometry(ysize, xsize, gpad, n)
+
+    def shard_fn(img, yb_l, xb_l, da, dd):
+        out, my_dc = _analysis_shard_body(
+            img, yb_l, xb_l, distp, cap, cfl, blocks, ysize, xsize,
+            g_img, gpad, gps, gd_img, gd_pad, gd_ps,
+        )
+        ac = _pack_ac_impl(
+            out["stream"][:, :cap], out["totals"], da, ow_ac, wcap_ac,
+            compact_ac,
+        )
+        dc = _pack_dc_impl(my_dc, dd, ow_dc, wcap_dc, compact_dc)
+        return dict(
+            ac_words=ac["words"][None] if compact_ac else ac["words"],
+            dc_words=dc["words"][None] if compact_dc else dc["words"],
+            ac_bits=ac["bits"], ac_offs=ac["word_offs"],
+            dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+            totals=out["totals"],
+        )
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P("g"), P("g"), P(), P()),
+        out_specs=dict(
+            ac_words=P("g"), dc_words=P("g"),
+            ac_bits=P("g"), ac_offs=P("g"),
+            dc_bits=P("g"), dc_offs=P("g"), totals=P("g"),
+        ),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+    shg = NamedSharding(mesh, P("g"))
+    out = jax.jit(f)(
+        jax.device_put(image, rep),
+        jax.device_put(yb_pad, shg),
+        jax.device_put(xb_pad, shg),
+        jax.device_put(d_ac, rep),
+        jax.device_put(d_dc, rep),
+    )
+    out["small"] = jnp.concatenate(
+        [out["ac_bits"], out["ac_offs"], out["dc_bits"], out["dc_offs"],
+         out["totals"].astype(jnp.int32)]
+    )
+    return out
+
+
+def pack_all_sections_mesh(
+    stream, totals, d_ac, dc_layout, d_dc, mesh: Mesh,
+    ow_ac, ow_dc, wcap_ac=None, wcap_dc=None,
+    compact_ac=True, compact_dc=True,
+):
+    """Program B under shard_map at single-chip parity: AC + DC section
+    packing per shard in one dispatch.
+
+    Returns dict(ac_words [n_dev, wcap_ac], dc_words [n_dev, wcap_dc],
+    small [2*Gpad + 2*Gd_pad] — bits then shard-local word offsets for
+    each section kind, concatenated exactly like pack_all_sections)."""
+    from ..ops.pack_kernels import _pack_ac_impl
+    from ..ops.dc_kernels import _pack_dc_impl
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    g = stream.shape[0]
+    gd = dc_layout.shape[0]
+    assert g % n == 0 and gd % n == 0
+    if wcap_ac is None:
+        wcap_ac = min(1 << int((g // n) * ow_ac).bit_length(), 2 * 1024 * 1024)
+    if wcap_dc is None:
+        wcap_dc = min(1 << int((gd // n) * ow_dc).bit_length(), 2 * 1024 * 1024)
+
+    def shard_fn(s, t, da, lay, dd):
+        ac = _pack_ac_impl(s, t, da, ow_ac, wcap_ac, compact_ac)
+        dc = _pack_dc_impl(lay, dd, ow_dc, wcap_dc, compact_dc)
+        return dict(
+            ac_words=ac["words"][None] if compact_ac else ac["words"],
+            dc_words=dc["words"][None] if compact_dc else dc["words"],
+            ac_bits=ac["bits"], ac_offs=ac["word_offs"],
+            dc_bits=dc["bits"], dc_offs=dc["word_offs"],
+        )
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("g"), P("g"), P(), P("g"), P()),
+        out_specs=dict(
+            ac_words=P("g"), dc_words=P("g"),
+            ac_bits=P("g"), ac_offs=P("g"),
+            dc_bits=P("g"), dc_offs=P("g"),
+        ),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+    out = jax.jit(f)(
+        stream, totals, jax.device_put(d_ac, rep), dc_layout,
+        jax.device_put(d_dc, rep),
+    )
+    out["small"] = jnp.concatenate(
+        [out["ac_bits"], out["ac_offs"], out["dc_bits"], out["dc_offs"]]
+    )
+    out["wcap_ac"], out["wcap_dc"] = wcap_ac, wcap_dc
+    return out
+
+
+def extract_groups_device(img):
+    from ..ops.pipeline_jax import extract_groups_device as _e
+
+    return _e(img)
+
+
 def pack_ac_sections_sharded(stream, totals, d_table, mesh: Mesh, ow=8192):
     """Program B under shard_map: per-shard bit-packing + word compaction.
 

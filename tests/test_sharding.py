@@ -118,3 +118,91 @@ def test_packed_path_shard_invariance():
             assert (int(a[-1]) & mask) == (int(b[-1]) & mask)
         else:
             assert np.array_equal(a, b)
+
+
+def _test_image(h=300, w=700, seed=12):
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(xx * 0.04) * np.cos(yy * 0.05),
+            0.5 + 0.3 * np.sin((xx + yy) * 0.02),
+            0.4 + 0.2 * np.cos(xx * 0.012),
+        ]
+    ).astype(np.float32)
+    return np.clip(img + rng.randn(3, h, w).astype(np.float32) * 0.02, 0, 1)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+@pytest.mark.parametrize(
+    "dtype,cfg",
+    [
+        ("f32", None),
+        ("u8", None),
+        ("u8", "static"),
+        ("f32", "min"),
+    ],
+)
+def test_mesh_matches_single_chip_bytes(dtype, cfg):
+    """Full flagship parity on the mesh: for each capability tier and ingest
+    dtype, encode_image_device_mesh(8 devices) produces byte-identical
+    output to the single-chip encode_image_device (VERDICT r1 item 2)."""
+    from jxl_tiny_tpu.common import EncoderConfig
+    from jxl_tiny_tpu.encoder import encode_image_device, encode_image_device_mesh
+    from jxl_tiny_tpu.io.color import linear_to_srgb_u8
+
+    config = {
+        None: None,
+        "static": EncoderConfig(optimize_code=False),
+        "min": EncoderConfig(
+            optimize_chroma_from_luma=False, optimize_block_sizes=False
+        ),
+    }[cfg]
+    img = _test_image()
+    inp = linear_to_srgb_u8(img) if dtype == "u8" else img
+    single = encode_image_device(inp, 1.0, upload_dtype=None, config=config)
+    mesh8 = encode_image_device_mesh(
+        inp, 1.0, mesh=make_mesh(jax.devices()[:8]), upload_dtype=None,
+        config=config,
+    )
+    assert single == mesh8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_mesh_f16_plane_ingest_matches_single_chip():
+    """The f16 byte-plane ingest path through the mesh program equals the
+    single-chip program (unit level: analysis outputs; the full-encode f16
+    default engages only >=2MP, too slow for the CPU mesh suite)."""
+    from jxl_tiny_tpu.common import compute_distance_params
+    from jxl_tiny_tpu.encoder import _split_f16_planes
+    from jxl_tiny_tpu.ops.pipeline_jax import analyze_image_packed
+    from jxl_tiny_tpu.parallel.sharding import analyze_image_packed_mesh
+
+    img = _test_image()
+    up = _split_f16_planes(img.astype(np.float16))
+    h, w = img.shape[1], img.shape[2]
+    ybs = np.array([32, 32, 32, 6, 6, 6, 0, 0], np.int32)
+    xbs = np.array([32, 32, 24, 32, 32, 24, 0, 0], np.int32)
+    distp = compute_distance_params(1.0)
+    cap = 16384
+    single = analyze_image_packed(
+        jnp.asarray(up), jnp.asarray(ybs[:6]), jnp.asarray(xbs[:6]),
+        cap=cap, cfl=True, blocks=True,
+        distance=float(distp.distance), inv_scale=float(distp.inv_scale),
+        scale=float(distp.scale), scale_dc=float(distp.scale_dc),
+        x_qm_mul=float(distp.x_qm_mul),
+    )
+    mesh8 = analyze_image_packed_mesh(
+        jnp.asarray(up), jnp.asarray(ybs), jnp.asarray(xbs), distp,
+        make_mesh(jax.devices()[:8]), cap=cap, ysize=h, xsize=w,
+    )
+    assert np.array_equal(
+        np.asarray(single["totals"]), np.asarray(mesh8["totals"])[:6]
+    )
+    assert np.array_equal(np.asarray(single["hists"]), np.asarray(mesh8["hists"]))
+    assert np.array_equal(
+        np.asarray(single["stream"]), np.asarray(mesh8["stream"])[:6]
+    )
+    assert np.array_equal(
+        np.asarray(single["dc_layout"]), np.asarray(mesh8["dc_layout"])[:1]
+    )
