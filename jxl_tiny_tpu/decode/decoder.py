@@ -12,6 +12,7 @@ import numpy as np
 
 from .. import constants as C
 from ..common import ImageDim, div_ceil
+from ..errors import DecodeError
 from ..bitstream.bit_reader import BitReader
 from ..ref.dct_np import idct2d_blocks
 from .huffman_read import read_histograms, TokenReader
@@ -24,7 +25,8 @@ def unpack_signed(u):
 
 def _expect(reader, nbits, value, what):
     v = reader.read(nbits)
-    assert v == value, f"{what}: expected {value}, got {v}"
+    if v != value:
+        raise DecodeError(f"{what}: expected {value}, got {v}")
 
 
 def _read_size(reader):
@@ -33,7 +35,31 @@ def _read_size(reader):
     return reader.read(k_bits[sel]) + 1
 
 
-def decode_jxl(data: bytes, return_xyb=False):
+def decode_jxl(data: bytes, return_xyb=False, filters=False, crop=True):
+    """filters=False returns the pre-filter reconstruction (the historical
+    behavior every byte-level test uses). filters=True applies the
+    restoration chain the frame header signals — gaborish + EPF exactly as
+    stock djxl would render it (decode.filters) — before the color
+    transform.
+
+    Strict: any malformed input surfaces as errors.DecodeError — bit-level
+    over/under-reads per section, nonzero padding, TOC/file-size
+    mismatches, and out-of-range field or symbol values (internal
+    assertion/index failures are converted; tests/test_fuzz_decode.py
+    drives this with mutation corpora).
+
+    crop=False returns the full 8-multiple block grid instead of the
+    image rectangle (fuzz tests compare pad blocks too — they are coded
+    bits even though rendering crops them)."""
+    try:
+        return _decode_jxl_impl(data, return_xyb, filters, crop)
+    except DecodeError:
+        raise
+    except (AssertionError, IndexError, ValueError, KeyError, OverflowError) as e:
+        raise DecodeError(f"malformed codestream: {type(e).__name__}: {e}") from e
+
+
+def _decode_jxl_impl(data: bytes, return_xyb, filters, crop):
     r = BitReader(data)
     _expect(r, 8, 0xFF, "signature")
     _expect(r, 8, 0x0A, "marker")
@@ -81,9 +107,11 @@ def decode_jxl(data: bytes, return_xyb=False):
     _expect(r, 1, 1, "last frame")
     _expect(r, 2, 0, "name")
     if r.read(1) == 1:
-        epf_iters = 2
+        # All-default loop filter: gaborish ON + 2 EPF iterations.
+        gab, epf_iters = True, 2
     else:
         _expect(r, 1, 0, "gaborish")
+        gab = False
         epf_iters = r.read(2)
         if epf_iters > 0:
             _expect(r, 1, 0, "epf sharpness")
@@ -110,6 +138,11 @@ def decode_jxl(data: bytes, return_xyb=False):
     base = r.pos // 8
     offsets = np.cumsum([0] + sizes)
     payload = data[base:]
+    if base + int(offsets[-1]) != len(data):
+        raise DecodeError(
+            f"file size {len(data)} does not match TOC "
+            f"({base} header + {int(offsets[-1])} section bytes)"
+        )
     if n_toc == 1:
         # All sections concatenated in one; parse sequentially from one reader.
         section_readers = [BitReader(payload[: sizes[0]])] * num_sections
@@ -120,21 +153,55 @@ def decode_jxl(data: bytes, return_xyb=False):
         ]
         sequential = False
 
+    def end_section(rr):
+        # Sections are whole bytes with zero fill bits and an exact TOC
+        # size — trailing bytes would make djxl's section accounting fail.
+        # Collapsed (single-TOC-entry) sections are concatenated at the BIT
+        # level with no padding between them (BitWriter::Append,
+        # enc_bit_writer.cc:90-108), so only the combined section ends on a
+        # padded byte.
+        if sequential:
+            return
+        rr.zero_pad_to_byte()
+        if rr.bits_remaining() != 0:
+            raise DecodeError(
+                f"section has {rr.bits_remaining() // 8} trailing bytes"
+            )
+
     state = _DecoderState(dim, x_qm_scale)
 
     # Section order: DCGlobal, DCGroups..., ACGlobal, ACGroups...
     sr = section_readers[0]
     _decode_dc_global(sr, state)
+    end_section(sr if sequential else section_readers[0])
     for i in range(dim.num_dc_groups):
         rr = sr if sequential else section_readers[1 + i]
         _decode_dc_group(rr, state, i)
+        end_section(rr)
     rr = sr if sequential else section_readers[1 + dim.num_dc_groups]
     _decode_ac_global(rr, state)
+    end_section(rr)
     for i in range(dim.num_groups):
         rr = sr if sequential else section_readers[2 + dim.num_dc_groups + i]
         _decode_ac_group(rr, state, i)
+        end_section(rr)
+    if sequential:
+        sr.zero_pad_to_byte()
+        if sr.bits_remaining() != 0:
+            raise DecodeError(
+                f"collapsed section has {sr.bits_remaining() // 8} "
+                "trailing bytes"
+            )
 
     xyb = state.finish_pixels()
+    if filters and (gab or epf_iters > 0):
+        from .filters import apply_restoration_filters
+
+        xyb = apply_restoration_filters(
+            xyb, state.raw_qf, state.scale, epf_iters, gab
+        )
+    if not crop:
+        ysize, xsize = xyb.shape[1], xyb.shape[2]
     if return_xyb:
         return xyb[:, :ysize, :xsize]
     rgb = xyb_to_linear(xyb)[:, :ysize, :xsize]
@@ -209,29 +276,53 @@ def _decode_dc_global(r, state):
     _expect(r, 1, 1, "tree not empty")
     tree_cm, tree_dec = read_histograms(r, C.NUM_TREE_CONTEXTS)
     ttok = TokenReader(r, tree_cm, tree_dec)
-    _parse_tree(ttok)
+    _parse_tree(ttok, state.dim.num_dc_groups)
     # DC token histograms.
     dc_cm, dc_dec = read_histograms(r, C.NUM_DC_CONTEXTS)
     state.dc_tokens = (dc_cm, dc_dec)
 
 
-def _parse_tree(ttok):
-    """Parse the modular MA tree (self-terminating); we only need to skip it."""
+def _parse_tree(ttok, num_dc_groups):
+    """Parse the modular MA tree and verify it IS the fixed gradient tree
+    of the tiny format (enc_frame.cc:487-502, constants.CONTEXT_TREE_TOKENS
+    with the DC-group count patched in). The tree is load-bearing for
+    djxl's modular decoding even though this decoder's DC path hardcodes
+    its semantics — silently skipping it would accept streams djxl decodes
+    differently."""
+    expected = C.CONTEXT_TREE_TOKENS
+    exp_rows = expected.shape[0]
+    patched_val = 2 * (1 + num_dc_groups)  # pack_signed of a positive value
+    got = 0
+
+    def check(ctx, val):
+        nonlocal got
+        if got >= exp_rows:
+            raise DecodeError("modular tree larger than the fixed tree")
+        ectx, eval_ = int(expected[got, 0]), int(expected[got, 1])
+        if got == 1:
+            eval_ = patched_val
+        if (ctx, val) != (ectx, eval_):
+            raise DecodeError(
+                f"modular tree deviates from the fixed tree at token {got}: "
+                f"got ({ctx},{val}), expected ({ectx},{eval_})"
+            )
+        got += 1
+
     nodes_left = 1
-    count = 0
     while nodes_left:
         nodes_left -= 1
         prop = ttok.read(1)
+        check(1, prop)
         if prop == 0:
-            ttok.read(2)  # predictor
-            ttok.read(3)  # offset
-            mul_log = ttok.read(4)
-            ttok.read(5)  # multiplier bits
-            count += 1
+            check(2, ttok.read(2))  # predictor
+            check(3, ttok.read(3))  # offset
+            check(4, ttok.read(4))  # multiplier log
+            check(5, ttok.read(5))  # multiplier bits
         else:
-            ttok.read(0)  # split value
+            check(0, ttok.read(0))  # split value
             nodes_left += 2
-    return count
+    if got != exp_rows:
+        raise DecodeError("modular tree smaller than the fixed tree")
 
 
 def _decode_dc_group(r, state, idx):

@@ -58,8 +58,16 @@ class PrefixDecoder:
         if self.single is not None:
             return self.single
         window = reader.peek(self.max_depth)
+        length = int(self.lut_len[window])
+        if length == 0:
+            # Window not covered by any codeword (incomplete code from a
+            # corrupt stream) — without this check the caller would spin
+            # forever consuming 0 bits.
+            from ..errors import DecodeError
+
+            raise DecodeError("invalid prefix-code word")
         sym = int(self.lut_sym[window])
-        reader.skip(int(self.lut_len[window]))
+        reader.skip(length)
         return sym
 
 
@@ -113,6 +121,10 @@ def read_prefix_code(reader, alphabet_size) -> PrefixDecoder:
         i += 1
     from ..entropy.huffman import depths_to_bits
 
+    if space != 0 and num_codes != 1:
+        from ..errors import DecodeError
+
+        raise DecodeError("invalid code-length code (not complete)")
     len_decoder = PrefixDecoder(code_lengths, depths_to_bits(code_lengths))
     if num_codes == 1:
         only = int(np.nonzero(code_lengths)[0][0])
@@ -152,6 +164,10 @@ def read_prefix_code(reader, alphabet_size) -> PrefixDecoder:
                 symbol += 1
                 if new_len:
                     space -= (1 << 15) >> new_len
+    if space != 0:
+        from ..errors import DecodeError
+
+        raise DecodeError("prefix code not complete (corrupt histogram)")
     return PrefixDecoder(depths, depths_to_bits(depths))
 
 

@@ -18,3 +18,10 @@ class CapacityError(JxlTinyError):
 
 class BackendError(JxlTinyError):
     """Device/runtime failure (retryable at the batch-driver level)."""
+
+
+class DecodeError(JxlTinyError):
+    """Malformed or truncated codestream (verification decoder). Every
+    defect a bitstream mutation can introduce surfaces as this type —
+    over-reads, nonzero padding, wrong section sizes, bad field values
+    (tests/test_fuzz_decode.py)."""
