@@ -223,6 +223,23 @@ def compute_adaptive_quant_field(xyb: np.ndarray, distance: float, inv_scale: fl
     return qf, masking, raw_qf
 
 
+def compute_adaptive_quant_field_striped(xyb, distance, inv_scale):
+    """Stripe-faithful AQ variant: the reference computes the field one
+    256x64 stripe at a time (enc_frame.cc:729-756) with neighborhood
+    clamping at the stripe buffer's rows 0/63
+    (enc_adaptive_quantization.cc:396-410 — the +-1 local-diff and the +-4
+    extension clamp at `ysize` of the 64-row stripe image; horizontally the
+    stripe spans the whole group, so column clamping is identical to the
+    whole-group computation). Production pipelines deliberately clamp at
+    group edges instead; this variant exists to *measure* that deviation
+    (tests/test_stripe_deviation.py)."""
+    parts = [
+        compute_adaptive_quant_field(xyb[:, y : y + 64, :], distance, inv_scale)
+        for y in range(0, xyb.shape[1], 64)
+    ]
+    return tuple(np.concatenate([p[k] for p in parts], axis=0) for k in range(3))
+
+
 # ---------------------------------------------------------------------------
 # Chroma from luma (reference: enc_chroma_from_luma.cc)
 # ---------------------------------------------------------------------------
