@@ -21,6 +21,12 @@ from .entropy import build_entropy_code
 from .ref import pipeline_np as P
 from .ref import group_np as G
 
+# Below this pixel count, upload_dtype=float16 silently upgrades to f32:
+# the upload saving is negligible and f16 mantissa noise tilts the
+# adaptive-quant heuristics on very flat content. Tests pin this to 0 to
+# golden-gate the genuine f16 split-plane ingest on small corpus images.
+F16_AUTO_F32_PIXELS = 2e6
+
 
 class GroupResult:
     """Per-group analysis outputs (cropped to valid block dims)."""
@@ -409,7 +415,7 @@ class DeviceEncodeJob:
     """
 
     def __init__(self, img, distance=1.0, upload_dtype=np.float16,
-                 cap=32768, ow=8192, config=None, mesh=None):
+                 cap=32768, ow=8192, config=None, mesh=None, fetch=None):
         import jax.numpy as jnp
         from .ops.pipeline_jax import analyze_image_packed
         from .common import DEFAULT_CONFIG
@@ -435,6 +441,11 @@ class DeviceEncodeJob:
         # shard_map with the group axis padded to a device multiple; words
         # and word offsets come back per shard (parallel.sharding).
         self.mesh = mesh
+        # D2H conversion hook. Multi-host meshes pass a process_allgather
+        # wrapper (parallel.multihost.host0_gather) because sharded outputs
+        # are not fully addressable from any single process; every process
+        # must then drive the job symmetrically (collective fetches).
+        self._fetch = np.asarray if fetch is None else fetch
         self._n_shards = 1 if mesh is None else mesh.devices.size
         self._gpad = -(-g // self._n_shards) * self._n_shards
         gd = self.dim.num_dc_groups
@@ -447,7 +458,8 @@ class DeviceEncodeJob:
         if img.dtype == np.uint8:
             up = img  # sRGB u8: linearized on device (extract_groups_device)
         else:
-            if upload_dtype == np.float16 and img.shape[1] * img.shape[2] < 2e6:
+            if (upload_dtype == np.float16
+                    and img.shape[1] * img.shape[2] < F16_AUTO_F32_PIXELS):
                 # f16 mantissa noise tilts the adaptive-quant heuristics on
                 # very flat content; below ~2MP the f32 upload is cheap.
                 upload_dtype = None
@@ -536,12 +548,12 @@ class DeviceEncodeJob:
                 self._dispatch_b()
             return
 
-        totals = np.asarray(self.out_a["totals"])
+        totals = self._fetch(self.out_a["totals"])
         if int(totals.max(initial=0)) > self.cap:
             self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
             self.out_a = self._run_a(self.cap)
         self.meta = None  # host maps fetched only by the fallback path
-        hists = np.asarray(self.out_a["hists"])
+        hists = self._fetch(self.out_a["hists"])
         self.full_code, d_table = build_ac_device_code(
             hists[0], ac_base64_map()
         )
@@ -639,7 +651,7 @@ class DeviceEncodeJob:
         """One D2H transfer for all small section metadata (bits + offsets
         for both section kinds, plus totals in the one-pass tier)."""
         if self._small_np is None:
-            self._small_np = np.asarray(self.out_small)
+            self._small_np = self._fetch(self.out_small)
         return self._small_np
 
     @staticmethod
@@ -662,9 +674,9 @@ class DeviceEncodeJob:
         assert used <= wcap, "caller must fall back to uncompacted download"
         dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
         if words_dev.ndim == 1:
-            words = np.asarray(words_dev[:dl])[None]
+            words = self._fetch(words_dev[:dl])[None]
         else:
-            words = np.asarray(words_dev[:, :dl])
+            words = self._fetch(words_dev[:, :dl])
         return [
             _writer_from_bits(
                 words[k // per_shard][
@@ -675,13 +687,12 @@ class DeviceEncodeJob:
             for k in range(n)
         ]
 
-    @staticmethod
-    def _download_writers_rows(words_dev, bits, n):
+    def _download_writers_rows(self, words_dev, bits, n):
         """Per-section BitWriters from uncompacted [n, ow] padded rows (the
         wcap-overflow fallback path: one padded download, no capacity
         ceiling)."""
         maxw = (int(bits.max(initial=0)) + 31) // 32
-        words = np.asarray(words_dev[:, : max(maxw, 1)])
+        words = self._fetch(words_dev[:, : max(maxw, 1)])
         return [
             _writer_from_bits(
                 np.ascontiguousarray(
@@ -881,7 +892,8 @@ def encode_batch_device(
     xb_flat = np.tile(xb1, n)
 
     if batch.dtype != np.uint8:
-        if upload_dtype == np.float16 and batch.shape[2] * batch.shape[3] < 2e6:
+        if (upload_dtype == np.float16
+                and batch.shape[2] * batch.shape[3] < F16_AUTO_F32_PIXELS):
             upload_dtype = None
         if upload_dtype is not None:
             batch = batch.astype(upload_dtype)
