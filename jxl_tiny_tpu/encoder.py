@@ -846,12 +846,26 @@ def encode_image_device_mesh(
     return job.result()
 
 
+class _BatchFetcher:
+    """Download plumbing for encode_batch_device (the same writer-slicing
+    methods DeviceEncodeJob uses, minus the per-image job state)."""
+
+    def __init__(self, n_shards=1, fetch=None):
+        self._n_shards = n_shards
+        self._fetch = np.asarray if fetch is None else fetch
+
+    _used_words = staticmethod(DeviceEncodeJob._used_words)
+    _download_writers = DeviceEncodeJob._download_writers
+    _download_writers_rows = DeviceEncodeJob._download_writers_rows
+
+
 def encode_batch_device(
     imgs,
     distance: float = 1.0,
     upload_dtype=np.float16,
     cap: int = 32768,
     ow: int = 8192,
+    mesh=None,
 ) -> list:
     """Batched flagship encode: N same-sized images in ONE pair of device
     programs — one upload, one histogram download, one section download for
@@ -860,7 +874,15 @@ def encode_batch_device(
     This is the serving path for small-image batches: per-image link
     round-trips (the cost that dominates `encode_images_device` on
     high-latency links) are amortized across the batch. Images must share
-    one shape and dtype (u8 sRGB or float linear)."""
+    one shape and dtype (u8 sRGB or float linear).
+
+    mesh: shard the batch over a device mesh on the IMAGE axis — each chip
+    encodes whole images, so the programs contain no collectives at all
+    and batch throughput scales linearly by construction (the TPU-native
+    analogue of the reference's per-image ThreadPool fan-out,
+    base/data_parallel.h). Bytes are identical to the single-chip batch
+    for any mesh shape (tested). N is padded to a device multiple with
+    zero images internally."""
     import jax.numpy as jnp
     from .ops.pipeline_jax import analyze_batch_packed
     from .ops import pack_kernels as PK
@@ -872,6 +894,13 @@ def encode_batch_device(
     )
 
     batch = np.stack(imgs)
+    n_real = batch.shape[0]
+    n_shards = 1 if mesh is None else mesh.devices.size
+    if mesh is not None and n_real % n_shards:
+        pad = (-n_real) % n_shards
+        batch = np.concatenate(
+            [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)]
+        )
     n = batch.shape[0]
     assert batch.ndim == 4 and batch.shape[1] == 3
     distance = clamp_distance(distance)
@@ -906,6 +935,13 @@ def encode_batch_device(
     )
 
     def run_a(c):
+        if mesh is not None:
+            from .parallel.sharding import analyze_batch_packed_mesh
+
+            return analyze_batch_packed_mesh(
+                jnp.asarray(batch), jnp.asarray(yb_flat),
+                jnp.asarray(xb_flat), mesh, cap=c, **kwargs,
+            )
         return analyze_batch_packed(
             jnp.asarray(batch), jnp.asarray(yb_flat), jnp.asarray(xb_flat),
             cap=c, **kwargs,
@@ -930,19 +966,29 @@ def encode_batch_device(
 
     stream = out_a["stream"][:, :cap]
     totals_d = out_a["totals"]
-    wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
     ow_dc = 8192
-    wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
     compact_ac = compact_dc = True
+    fetcher = _BatchFetcher(n_shards)
+    # Per-shard sections (shard-local word offsets in mesh mode).
+    gps, gdps = (n // n_shards) * g, (n // n_shards) * gd
     while True:
-        wcap = min(1 << int(n * g * ow).bit_length(), 2 * 1024 * 1024)
-        wcap_dc = min(1 << int(n * gd * ow_dc).bit_length(), 2 * 1024 * 1024)
-        out_b = pack_batch_sections(
-            stream, totals_d, jnp.asarray(d_ac),
-            out_a["dc_layout"], jnp.asarray(d_dc),
-            ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
-            compact_ac=compact_ac, compact_dc=compact_dc,
-        )
+        wcap = min(1 << int(gps * ow).bit_length(), 2 * 1024 * 1024)
+        wcap_dc = min(1 << int(gdps * ow_dc).bit_length(), 2 * 1024 * 1024)
+        if mesh is not None:
+            from .parallel.sharding import pack_batch_sections_mesh
+
+            out_b = pack_batch_sections_mesh(
+                stream, totals_d, d_ac, out_a["dc_layout"], d_dc, mesh,
+                ow_ac=ow, ow_dc=ow_dc, wcap_ac=wcap, wcap_dc=wcap_dc,
+                compact_ac=compact_ac, compact_dc=compact_dc,
+            )
+        else:
+            out_b = pack_batch_sections(
+                stream, totals_d, jnp.asarray(d_ac),
+                out_a["dc_layout"], jnp.asarray(d_dc),
+                ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc, wcap_dc=wcap_dc,
+                compact_ac=compact_ac, compact_dc=compact_dc,
+            )
         small = np.asarray(out_b["small"])
         ng, ngd = n * g, n * gd
         ac_bits = small[:ng]
@@ -959,33 +1005,38 @@ def encode_batch_device(
         if need_dc > PK.var_safe_words(ow_dc):
             ow_dc = _next_bucket((8192, 32768, 131072), need_dc + margin)
             continue
-        used = DeviceEncodeJob._used_words
-        if compact_ac and used(ac_bits, ac_offs) > wcap:
+
+        def _max_used(bits, offs, per):
+            return max(
+                fetcher._used_words(
+                    bits[s * per : (s + 1) * per],
+                    offs[s * per : (s + 1) * per],
+                )
+                for s in range(n_shards)
+            )
+
+        if compact_ac and _max_used(ac_bits, ac_offs, gps) > wcap:
             compact_ac = False
             continue
-        if compact_dc and used(dc_bits, dc_offs) > wcap_dc:
+        if compact_dc and _max_used(dc_bits, dc_offs, gdps) > wcap_dc:
             compact_dc = False
             continue
         break
 
     if compact_ac:
-        ac_w = DeviceEncodeJob._download_writers(
-            out_b["ac_words"], ac_bits, ac_offs, wcap, n * g
+        ac_w = fetcher._download_writers(
+            out_b["ac_words"], ac_bits, ac_offs, wcap, n * g, gps
         )
     else:
-        ac_w = DeviceEncodeJob._download_writers_rows(
-            out_b["ac_words"], ac_bits, n * g
-        )
+        ac_w = fetcher._download_writers_rows(out_b["ac_words"], ac_bits, n * g)
     if compact_dc:
-        dc_w = DeviceEncodeJob._download_writers(
-            out_b["dc_words"], dc_bits, dc_offs, wcap_dc, n * gd
+        dc_w = fetcher._download_writers(
+            out_b["dc_words"], dc_bits, dc_offs, wcap_dc, n * gd, gdps
         )
     else:
-        dc_w = DeviceEncodeJob._download_writers_rows(
-            out_b["dc_words"], dc_bits, n * gd
-        )
+        dc_w = fetcher._download_writers_rows(out_b["dc_words"], dc_bits, n * gd)
     results = []
-    for k in range(n):
+    for k in range(n_real):
         results.append(
             assemble_codestream(
                 None, dim, distp,

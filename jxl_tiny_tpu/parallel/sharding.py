@@ -359,6 +359,93 @@ def pack_all_sections_mesh(
     return out
 
 
+def analyze_batch_packed_mesh(
+    batch, yb_flat, xb_flat, mesh: Mesh, cap, **kwargs
+):
+    """Batched program A over the mesh, sharded on the IMAGE axis: each
+    device analyzes whole images, so there are no collectives at all — the
+    codec's batch throughput scales linearly by construction (each image's
+    histograms/codes/sections are self-contained; the reference's analogue
+    is the per-image ThreadPool fan-out, base/data_parallel.h).
+
+    batch: [N,3,H,W] with N a device-count multiple; yb/xb: [N*G].
+    Returns analyze_batch_packed's dict with every array sharded on its
+    leading (image or image*group) axis."""
+    from ..ops.pipeline_jax import analyze_batch_packed
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    assert batch.shape[0] % n == 0
+
+    def shard_fn(bt, yb, xb):
+        return analyze_batch_packed(bt, yb, xb, cap=cap, **kwargs)
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("g"), P("g"), P("g")),
+        out_specs=dict(
+            stream=P("g"), totals=P("g"), hists=P("g"), dc_layout=P("g")
+        ),
+        check_vma=False,
+    )
+    shg = NamedSharding(mesh, P("g"))
+    return jax.jit(f)(
+        jax.device_put(batch, shg),
+        jax.device_put(yb_flat, shg),
+        jax.device_put(xb_flat, shg),
+    )
+
+
+def pack_batch_sections_mesh(
+    stream, totals, d_ac, layout, d_dc, mesh: Mesh,
+    ow_ac, ow_dc, wcap_ac, wcap_dc, compact_ac=True, compact_dc=True,
+):
+    """Batched program B sharded on the image axis (d_ac/d_dc are [N,9,64]
+    per-image tables, so P('g') on them keys each shard's lookup to its own
+    images). Same output contract as pack_all_sections_mesh: per-shard
+    compacted word buffers, shard-local offsets."""
+    from ..ops.dc_kernels import pack_batch_sections
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    assert d_ac.shape[0] % n == 0
+
+    def shard_fn(s, t, da, lay, dd):
+        out = pack_batch_sections(
+            s, t, da, lay, dd, ow_ac=ow_ac, wcap_ac=wcap_ac,
+            ow_dc=ow_dc, wcap_dc=wcap_dc,
+            compact_ac=compact_ac, compact_dc=compact_dc,
+        )
+        out.pop("small")
+        if compact_ac:
+            out["ac_words"] = out["ac_words"][None]
+        if compact_dc:
+            out["dc_words"] = out["dc_words"][None]
+        return out
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("g"), P("g"), P("g"), P("g"), P("g")),
+        out_specs=dict(
+            ac_words=P("g"), dc_words=P("g"),
+            ac_bits=P("g"), ac_offs=P("g"),
+            dc_bits=P("g"), dc_offs=P("g"),
+        ),
+        check_vma=False,
+    )
+    shg = NamedSharding(mesh, P("g"))
+    out = jax.jit(f)(
+        stream, totals, jax.device_put(jnp.asarray(d_ac), shg), layout,
+        jax.device_put(jnp.asarray(d_dc), shg),
+    )
+    out["small"] = jnp.concatenate(
+        [out["ac_bits"], out["ac_offs"], out["dc_bits"], out["dc_offs"]]
+    )
+    return out
+
+
 def extract_groups_device(img):
     from ..ops.pipeline_jax import extract_groups_device as _e
 

@@ -206,3 +206,32 @@ def test_mesh_f16_plane_ingest_matches_single_chip():
     assert np.array_equal(
         np.asarray(single["dc_layout"]), np.asarray(mesh8["dc_layout"])[:1]
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_batch_mesh_byte_identical_to_single_device():
+    """encode_batch_device over an image-axis-sharded mesh: identical
+    bytes to the single-chip batch for 1- and 8-device meshes, including a
+    batch size that needs internal padding (3 images over 8 devices)."""
+    from jxl_tiny_tpu.encoder import encode_batch_device
+
+    rng = np.random.RandomState(17)
+    imgs = [
+        np.clip(
+            0.5
+            + 0.3 * np.sin(np.mgrid[0:96, 0:128][1] * (0.03 + 0.01 * k))[None]
+            + rng.randn(3, 96, 128) * 0.03,
+            0,
+            1,
+        ).astype(np.float32)
+        for k in range(3)
+    ]
+    ref = encode_batch_device(imgs, 1.0, upload_dtype=None)
+    d1 = encode_batch_device(
+        imgs, 1.0, upload_dtype=None, mesh=make_mesh(jax.devices()[:1])
+    )
+    d8 = encode_batch_device(
+        imgs, 1.0, upload_dtype=None, mesh=make_mesh(jax.devices()[:8])
+    )
+    assert len(ref) == len(d1) == len(d8) == 3
+    assert ref == d1 == d8
