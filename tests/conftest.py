@@ -16,6 +16,27 @@ import numpy as np
 import pytest
 
 
+def _n_maps():
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_code_maps():
+    """XLA:CPU's JIT never unmaps compiled code while an executable is
+    referenced; a full-suite run compiles hundreds of fat programs and can
+    exhaust vm.max_map_count (default 65530) -> LLVM 'Cannot allocate
+    memory' aborts mid-suite. jax.clear_caches() releases the maps
+    (measured: back to baseline), at the cost of recompiling shared
+    programs, so clear only when the process is actually getting close."""
+    yield
+    if _n_maps() > 40000:
+        jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def testdata():
     return os.path.join(os.path.dirname(__file__), "..", "testdata")

@@ -1,0 +1,216 @@
+#!/usr/bin/env python
+"""Fill the BASELINE.md per-config contract (SURVEY §6 / BASELINE.json).
+
+Two modes:
+
+  python tools/bench_configs.py --ref     # CPU: reference-side rows from
+                                          # the cjxl_tiny goldens (bytes,
+                                          # BPP, PSNR via the verification
+                                          # decoder). The reference binary
+                                          # itself cannot be rebuilt here
+                                          # (empty submodules, no egress);
+                                          # its only measured speed is
+                                          # 21.9 MP/s on the 8MP config.
+  python tools/bench_configs.py           # TPU: measure configs 1-5 on the
+                                          # attached chip (device-resident
+                                          # timing, bytes per distance,
+                                          # batch aggregate, 64MP).
+
+Each mode merges its rows into tools/bench_configs.json.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_configs.json")
+
+
+def _psnr(a, b):
+    mse = float(((np.clip(a, 0, 1) - np.clip(b, 0, 1)) ** 2).mean())
+    return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+
+def _merge(rows):
+    data = {}
+    if os.path.exists(OUT):
+        data = json.load(open(OUT))
+    data.update(rows)
+    json.dump(data, open(OUT, "w"), indent=1, sort_keys=True)
+    print(json.dumps(rows, indent=1, sort_keys=True))
+
+
+def _load(name):
+    from jxl_tiny_tpu.io.pfm import read_pfm
+
+    return read_pfm(os.path.join(REPO, "testdata", f"{name}.pfm"))
+
+
+def ref_mode():
+    """Reference rows: golden bytes/BPP, PSNR through the verification
+    decoder (the same oracle the TPU rows use, so the comparison is
+    apples-to-apples)."""
+    from jxl_tiny_tpu.decode.decoder import decode_jxl
+
+    rows = {}
+    cache = {}
+    for key, img_name, golden, dist in (
+        ("config1_512_d1.0", "gradient512", "gradient512.jxl", 1.0),
+        ("config2_8mp_d1.0", "photo8mp", "photo8mp.jxl", 1.0),
+        ("config4_8mp_d1.0", "photo8mp", "photo8mp.jxl", 1.0),
+        ("sweep_512_d0.5", "gradient512", "gradient512_d0.5.jxl", 0.5),
+        ("sweep_512_d1.0", "gradient512", "gradient512.jxl", 1.0),
+        ("sweep_512_d2.0", "gradient512", "gradient512_d2.0.jxl", 2.0),
+    ):
+        img = _load(img_name)
+        data = open(os.path.join(REPO, "testdata", "golden", golden), "rb").read()
+        t = time.time()
+        if golden not in cache:
+            cache[golden] = decode_jxl(data)
+        dec = cache[golden]
+        px = img.shape[1] * img.shape[2]
+        rows["ref_" + key] = dict(
+            bytes=len(data),
+            bpp=round(8 * len(data) / px, 4),
+            psnr=round(_psnr(dec, img), 3),
+            decode_s=round(time.time() - t, 1),
+        )
+    rows["ref_speed_mps"] = {
+        "config2_8mp_d1.0": 21.9,
+        "note": "only measurable config: single-core cjxl_tiny, 0.379 s "
+        "user for the 8MP image (BASELINE.md round 1); the binary cannot "
+        "be rebuilt in this environment, so configs 1/3/5 have no "
+        "reference speed row. cjxl_tiny is single-threaded and its MP/s "
+        "is roughly size-independent.",
+    }
+    _merge(rows)
+
+
+def _sync(x):
+    np.asarray(np.asarray(x).ravel()[:1])
+
+
+def tpu_mode():
+    import jax.numpy as jnp
+    from jxl_tiny_tpu.decode.decoder import decode_jxl
+    from jxl_tiny_tpu.encoder import (
+        DeviceEncodeJob,
+        encode_batch_device,
+        encode_image_device,
+    )
+    from jxl_tiny_tpu.io.color import linear_to_srgb_u8
+    from jxl_tiny_tpu.ops.pipeline_jax import analyze_image_packed
+
+    rows = {}
+
+    def device_resident(img, dist, reps=4):
+        """bench.py's device-resident loop: pixels in HBM -> sections in
+        HBM, host code-build in between; subtracts the two tunnel syncs."""
+        u8 = linear_to_srgb_u8(img)
+        job = DeviceEncodeJob(u8, dist)
+        job.pack()
+        data = job.result()
+        up = jnp.asarray(u8)
+        yb = jnp.asarray(job.yb_arr)
+        xb = jnp.asarray(job.xb_arr)
+        _sync(up)
+        times = []
+        for _ in range(reps):
+            t = time.time()
+            out_a = analyze_image_packed(up, yb, xb, cap=job.cap, **job._kwargs)
+            _sync(out_a["hists"])
+            job.out_a = out_a
+            job._stream = out_a["stream"][:, : job.cap]
+            job._totals_d = out_a["totals"]
+            job._dispatch_b()
+            _sync(job.out_small)
+            times.append(time.time() - t)
+        rt = []
+        for _ in range(6):
+            t = time.time()
+            _sync(up)
+            rt.append(time.time() - t)
+        mp = img.shape[1] * img.shape[2] / 1e6
+        best = min(times)
+        comp = max(best - 2 * min(rt), 1e-6)
+        return data, dict(
+            mps=round(mp / best, 2),
+            device_compute_est_mps=round(mp / comp, 2),
+            bytes=len(data),
+            bpp=round(8 * len(data) / (mp * 1e6), 4),
+        )
+
+    # Config 1: 512x512, d=1.0.
+    g512 = _load("gradient512")
+    data, r = device_resident(g512, 1.0)
+    r["psnr"] = round(_psnr(decode_jxl(data), g512), 3)
+    rows["tpu_config1_512_d1.0"] = r
+
+    # Config 2 + 4: 8MP at d in {0.5, 1.0, 2.0}.
+    photo = _load("photo8mp")
+    for dist in (0.5, 1.0, 2.0):
+        data, r = device_resident(photo, dist)
+        rows[f"tpu_config4_8mp_d{dist}"] = r
+        if dist == 1.0:
+            rows["tpu_config2_8mp_d1.0"] = r
+        with open(f"/tmp/bench_8mp_d{dist}.jxl", "wb") as f:
+            f.write(data)  # PSNR via tools/psnr_file.py on CPU (slow decode)
+
+    # Config 3: batch of 64 x 1MP (u8 ingest, one batched device program).
+    rng = np.random.RandomState(5)
+    tiles = []
+    for k in range(64):
+        y = rng.randint(0, photo.shape[1] - 1024)
+        x = rng.randint(0, photo.shape[2] - 1024)
+        tiles.append(photo[:, y : y + 1024, x : x + 1024])
+    batch = linear_to_srgb_u8(np.stack(tiles))
+    t = time.time()
+    outs = encode_batch_device(batch, 1.0)
+    warm = time.time() - t
+    t = time.time()
+    outs = encode_batch_device(batch, 1.0)
+    agg = time.time() - t
+    rows["tpu_config3_batch64x1mp"] = dict(
+        aggregate_mps=round(64 * 1.048576 / agg, 2),
+        e2e_s=round(agg, 2),
+        warm_s=round(warm, 2),
+        total_bytes=sum(len(o) for o in outs),
+    )
+
+    # Config 5: 64MP panorama (u8), single chip.
+    pan = np.concatenate([photo, photo[:, ::-1]], axis=1)  # 4320 x 3840
+    pan = np.concatenate([pan, pan[:, :, ::-1]], axis=2)  # 4320 x 7680 = 33MP
+    pan = np.concatenate([pan, pan[:, ::-1]], axis=1)[:, :8192, :7680]  # 63MP
+    pan8 = linear_to_srgb_u8(pan)
+    t = time.time()
+    data = encode_image_device(pan8, 1.0)
+    warm = time.time() - t
+    t = time.time()
+    data = encode_image_device(pan8, 1.0)
+    dt = time.time() - t
+    mp = pan.shape[1] * pan.shape[2] / 1e6
+    rows["tpu_config5_64mp"] = dict(
+        e2e_mps=round(mp / dt, 2),
+        e2e_s=round(dt, 2),
+        warm_s=round(warm, 2),
+        bytes=len(data),
+        bpp=round(8 * len(data) / (mp * 1e6), 4),
+        mp=round(mp, 1),
+    )
+
+    _merge(rows)
+
+
+if __name__ == "__main__":
+    if "--ref" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        ref_mode()
+    else:
+        tpu_mode()
