@@ -271,6 +271,35 @@ def build_dc_group_section(quant_dc, raw_qf, strategy_code, is_first, ytox, ytob
     return ops
 
 
+def dc_context_token_masks():
+    """[NUM_DC_CONTEXTS, ALPHABET_SIZE] bool: which hybrid-uint tokens can
+    ever occur in each DC-section context, from format invariants (not from
+    corpus statistics). Static-table training smooths only inside these
+    masks: a Huffman code spends code space on every smoothed symbol, and
+    e.g. the 3-symbol strategy contexts lose ~47% of their bits if the other
+    61 impossible tokens are given codes (Kraft: a 2-symbol cluster's second
+    symbol is forced from depth 1 to 2).
+
+    Bounds per build_dc_group_section / enc_frame.cc:287-424:
+      ctx 0       EPF: value PackSigned(4)=8 always           -> {8}
+      ctx 1,2     ytob/ytox gradient residual of int8 maps:
+                  |residual| <= 255 -> PackSigned <= 511       -> tokens <= 35
+      ctx 3-6     quant-field delta: cur,prev in [0,254]
+                  -> PackSigned <= 509                         -> tokens <= 35
+      ctx 7-10    strategy PackSigned({0,6,7}) = {0,12,14}     -> {0,12,14}
+      ctx 11-44   DC gradient residual; quant_dc clamps at
+                  +/-16383 (saturating quantizer)              -> all 64
+    """
+    import jxl_tiny_tpu.constants as C
+
+    m = np.zeros((C.NUM_DC_CONTEXTS, C.ALPHABET_SIZE), bool)
+    m[0, 8] = True
+    m[1:7, :36] = True
+    m[7:11, [0, 12, 14]] = True
+    m[11:, :] = True
+    return m
+
+
 # ---------------------------------------------------------------------------
 # AC group section (token ops from GroupTokens arrays)
 # ---------------------------------------------------------------------------

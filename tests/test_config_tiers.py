@@ -52,11 +52,30 @@ def test_tier_combinations_decode(code, cfl, blocks):
 
 def test_static_codes_size_overhead_bounded():
     """One-pass static codes trade size for latency. Small noisy synthetics
-    are the worst case for corpus-trained tables; bound the overhead loosely
-    (typical photographic content measures ~+5-10%)."""
+    are the worst case for corpus-trained tables; bound them loosely. The
+    photographic-typical bound is the separate test below."""
     img = _image()
     d_two = encode_image_device(img, 1.0, upload_dtype=None)
     d_one = encode_image_device(
         img, 1.0, upload_dtype=None, config=EncoderConfig(optimize_code=False)
     )
-    assert len(d_one) < len(d_two) * 1.35
+    assert len(d_one) < len(d_two) * 1.25
+
+
+def test_static_codes_photographic_overhead():
+    """On photographic content — what the corpus-trained tables are for —
+    the static tier must stay within 12% of the two-pass size at the default
+    distance (measured +11.1% on this crop; +4.4% at d=0.5, +13.3% at
+    d=2.0 — DC gradient-residual statistics drift with distance, see
+    tools/eval_static_weights.py)."""
+    from jxl_tiny_tpu.io.pfm import read_pfm
+
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "testdata", "photo8mp.pfm")
+    img = np.ascontiguousarray(read_pfm(path)[:, 1024:2048, 1024:2048])
+    d_two = encode_image_device(img, 1.0, upload_dtype=None)
+    d_one = encode_image_device(
+        img, 1.0, upload_dtype=None, config=EncoderConfig(optimize_code=False)
+    )
+    assert len(d_one) < len(d_two) * 1.12, (len(d_one), len(d_two))

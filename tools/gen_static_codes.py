@@ -163,10 +163,17 @@ def main():
             ac_hist += a * (s / max(a.sum(), 1.0))
             dc_hist += d * (s / max(d.sum(), 1.0))
 
-    # Rescale to integer counts; +1 smoothing so every symbol is codeable
-    # in the static tier.
+    # Rescale to integer counts; +1 smoothing so every possible symbol is
+    # codeable in the static tier. DC contexts smooth only inside their
+    # format-possible token sets (sections.dc_context_token_masks) — giving
+    # codes to impossible tokens costs real code space (measured +17% DC
+    # bits on the 8MP photo from whole-alphabet smoothing alone).
+    from jxl_tiny_tpu.bitstream.sections import dc_context_token_masks
+
     ac_hist = np.minimum(np.round(ac_hist) + 1, 2**31).astype(np.uint32)
-    dc_hist = np.minimum(np.round(dc_hist) + 1, 2**31).astype(np.uint32)
+    dc_hist = np.minimum(
+        np.round(dc_hist) + dc_context_token_masks(), 2**31
+    ).astype(np.uint32)
     out = os.path.join(
         os.path.dirname(__file__), "..", "jxl_tiny_tpu", "constants",
         "static_codes.npz",
