@@ -486,12 +486,17 @@ class DeviceEncodeJob:
             from .entropy.entropy_write import (
                 load_static_codes,
                 _static_dc_table,
+                _static_dc_depths,
             )
 
             self.meta = None
-            self.full_code, d_ac, self.dc_code = load_static_codes()
+            self.full_code, d_ac, self._dc_codes = load_static_codes()
+            # Placeholder until the device reports its candidate pick (the
+            # trailing element of `small`); result() resolves it.
+            self.dc_code = self._dc_codes[0]
             self._d_dev = jnp.asarray(d_ac)
             self._d_dc = jnp.asarray(_static_dc_table())
+            self._dc_depths = jnp.asarray(_static_dc_depths())
             self._ow_dc = 8192
             self._dispatch_b()
         else:
@@ -542,7 +547,7 @@ class DeviceEncodeJob:
 
         if self._static:
             g2 = 2 * (self._gpad + self._gd_pad)
-            totals = self._small_sync()[g2:]
+            totals = self._small_sync()[g2:-1]  # trailing entry: DC pick k
             if int(totals.max(initial=0)) > self.cap:
                 self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
                 self._dispatch_b()
@@ -595,6 +600,7 @@ class DeviceEncodeJob:
             out = analyze_pack_static(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
                 jnp.asarray(self.xb_arr), self._d_dev, self._d_dc,
+                self._dc_depths,
                 cap=self.cap,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
@@ -627,7 +633,7 @@ class DeviceEncodeJob:
             out = analyze_pack_static_mesh(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
                 jnp.asarray(self.xb_arr), self.distp, self._d_dev,
-                self._d_dc, self.mesh, cap=self.cap,
+                self._d_dc, self._dc_depths, self.mesh, cap=self.cap,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
                 ow_ac=self.ow, wcap_ac=self.wcap,
@@ -787,6 +793,12 @@ class DeviceEncodeJob:
         return self._dc_list
 
     def result(self) -> bytes:
+        if self._static:
+            # DCGlobal must serialize the candidate table the device packed
+            # with; the pick rides as the last element of `small` (the
+            # argmin never changes across ow/wcap re-dispatches — same
+            # histogram).
+            self.dc_code = self._dc_codes[int(self._small_sync()[-1])]
         return assemble_codestream(
             None, self.dim, self.distp,
             ac_writers=self._ac_writers, ac_code=self.full_code,

@@ -371,10 +371,19 @@ def load_static_codes():
     """Static entropy codes for the one-pass tier (EncoderConfig
     optimize_code=False) — the role of the reference's baked
     static_entropy_codes.h:502-971 tables, except ours are trained on the
-    repo's test corpus by tools/gen_static_codes.py (counts are +1-smoothed
-    so every symbol has a code).
+    repo's test corpus by tools/gen_static_codes.py (smoothed so every
+    format-possible symbol has a code).
 
-    Returns (ac_full_code, ac_d_table, dc_code)."""
+    DC-section statistics (gradient residuals) vary so much across content
+    and distance that one table costs +12-17% DC bits on photographs; the
+    tier therefore ships K candidate DC tables (content class x distance
+    blends) and the *device* picks the cheapest per image from the DC
+    histogram it already computes — compute-all-select, still a single
+    dispatch (dc_kernels.select_dc_table). AC statistics are stable
+    (+2-3%): one table.
+
+    Returns (ac_full_code, ac_d_table, dc_codes) — dc_codes is the
+    K-candidate list (K == 1 for legacy single-table files)."""
     global _STATIC_CODES_CACHE
     if _STATIC_CODES_CACHE is None:
         import os
@@ -388,14 +397,40 @@ def load_static_codes():
         ac_full, d_table = build_ac_device_code(
             data["ac_hist64"], ac_base64_map()
         )
-        dc_code, d_table_dc = build_dc_device_code(data["dc_hist"])
-        _STATIC_CODES_CACHE = (ac_full, d_table, dc_code, d_table_dc)
+        dc_hists = (
+            data["dc_hists_k"] if "dc_hists_k" in data else data["dc_hist"][None]
+        )
+        dc_codes, tabs, depth_grids = [], [], []
+        for h in dc_hists:
+            code, tab = build_dc_device_code(h)
+            dc_codes.append(code)
+            tabs.append(tab)
+            # Dense [64, 64] (ctx, token) -> depth grid for the device's
+            # integer cost argmin; contexts >= NUM_DC_CONTEXTS never occur.
+            g = code.token_depths[code.context_map.astype(np.int64)]
+            grid = np.zeros((64, 64), np.int32)
+            grid[: g.shape[0]] = g
+            depth_grids.append(grid)
+        _STATIC_CODES_CACHE = (
+            ac_full,
+            d_table,
+            dc_codes,
+            np.stack(tabs),
+            np.stack(depth_grids),
+        )
     return _STATIC_CODES_CACHE[:3]
 
 
 def _static_dc_table():
+    """[K, 9, 64] factored candidate tables for the device packer."""
     load_static_codes()
     return _STATIC_CODES_CACHE[3]
+
+
+def _static_dc_depths():
+    """[K, 64, 64] i32 per-candidate depth grids for device selection."""
+    load_static_codes()
+    return _STATIC_CODES_CACHE[4]
 
 
 def build_entropy_code_from_cluster_histograms(clustered) -> EntropyCode:

@@ -337,6 +337,17 @@ def pack_all_sections(
     )
 
 
+def select_dc_table(hist64, dc_depths):
+    """Pick the cheapest DC candidate table on device (compute-all-select).
+
+    hist64: [64, 64] u32 DC histogram (dc_hist); dc_depths: [K, 64, 64] i32
+    per-candidate (ctx, token) -> emission depth grids. Exact integer cost
+    (fits i32: <= ~143M DC tokens x depth 15 — a 2-gigapixel image), so the
+    argmin is deterministic and identical on every shard of a mesh."""
+    cost = (hist64.astype(jnp.int32)[None] * dc_depths).sum(axis=(1, 2))
+    return jnp.argmin(cost).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -362,6 +373,7 @@ def analyze_pack_static(
     xb_valid,
     d_ac,
     d_dc,
+    dc_depths,
     distance,
     inv_scale,
     scale,
@@ -379,21 +391,29 @@ def analyze_pack_static(
 ):
     """One-pass tier: the whole encode (analysis + section packing with
     static code tables) as a single device program and roundtrip — the
-    reference's OPTIMIZE_CODE=0 design (no histogram pass,
-    static_entropy_codes.h role)."""
+    reference's OPTIMIZE_CODE=0 design (no histogram pass to the host,
+    static_entropy_codes.h role). d_dc holds K candidate DC tables
+    [K, 9, 64]; the device picks the cheapest per image from the DC
+    histogram it already computes (select_dc_table) and reports the pick as
+    the last element of `small` so the host serializes the same table into
+    DCGlobal."""
     from .pipeline_jax import analyze_image_packed
 
     a = analyze_image_packed(
         image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
         x_qm_mul, cap, cfl, blocks,
     )
+    k = select_dc_table(a["hists"][1], dc_depths)
     b = pack_all_sections(
-        a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"], d_dc,
+        a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"],
+        jnp.take(d_dc, k, axis=0),
         ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
         compact_ac=compact_ac, compact_dc=compact_dc,
     )
     b["totals"] = a["totals"]
-    b["small"] = jnp.concatenate([b["small"], a["totals"].astype(jnp.int32)])
+    b["small"] = jnp.concatenate(
+        [b["small"], a["totals"].astype(jnp.int32), k[None]]
+    )
     return b
 
 

@@ -170,16 +170,39 @@ def main():
     # bits on the 8MP photo from whole-alphabet smoothing alone).
     from jxl_tiny_tpu.bitstream.sections import dc_context_token_masks
 
+    mask = dc_context_token_masks()
     ac_hist = np.minimum(np.round(ac_hist) + 1, 2**31).astype(np.uint32)
-    dc_hist = np.minimum(
-        np.round(dc_hist) + dc_context_token_masks(), 2**31
-    ).astype(np.uint32)
+    dc_hist = np.minimum(np.round(dc_hist) + mask, 2**31).astype(np.uint32)
+
+    # DC candidate tables for the device's per-image compute-all-select
+    # (dc_kernels.select_dc_table): DC gradient-residual statistics vary far
+    # more across content and distance than AC's (one blended table costs
+    # +12-17% DC bits on photographs; the best of these class x distance
+    # blends costs +4-7%, corpus avg ~0 — tools/eval_static_weights.py).
+    classes = {
+        "photo": (0, 2),        # photo8mp, photo256
+        "smooth": (1, 3, 4),    # gradient512, odd131x77, tiny64
+        "noise": (5, 6, 7),     # pink-spectrum synthetics
+        "graphics": (8,),       # hard-edge composite
+    }
+    dc_k = []
+    for cname, idxs in classes.items():
+        for di in range(dc.shape[0]):
+            t = np.zeros_like(dc[0, 0], np.float64)
+            for ii in idxs:
+                if ii < n_img:
+                    t += dc[di, ii] * (1e6 / max(dc[di, ii].sum(), 1.0))
+            dc_k.append(np.minimum(np.round(t) + mask, 2**31).astype(np.uint32))
+    dc_hists_k = np.stack(dc_k)
+
     out = os.path.join(
         os.path.dirname(__file__), "..", "jxl_tiny_tpu", "constants",
         "static_codes.npz",
     )
-    np.savez_compressed(out, ac_hist64=ac_hist, dc_hist=dc_hist)
-    print(f"wrote {out}")
+    np.savez_compressed(
+        out, ac_hist64=ac_hist, dc_hist=dc_hist, dc_hists_k=dc_hists_k
+    )
+    print(f"wrote {out} (dc candidates: {dc_hists_k.shape[0]})")
 
 
 if __name__ == "__main__":
