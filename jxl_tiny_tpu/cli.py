@@ -51,6 +51,10 @@ def main(argv=None):
         optimize_chroma_from_luma=not args.no_cfl,
         optimize_block_sizes=not args.no_block_sizes,
     )
+    if config != EncoderConfig() and args.pipeline != "device":
+        # The verification pipelines implement the full-capability tier
+        # only; failing beats silently encoding at a different tier.
+        p.error("capability-tier flags require --pipeline device")
 
     from .errors import JxlTinyError
     from .io.pfm import read_pfm
