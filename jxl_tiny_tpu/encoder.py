@@ -483,20 +483,18 @@ class DeviceEncodeJob:
             # One-pass tier: analysis + packing with static codes is a
             # single device program; dispatch it right away (no histogram
             # roundtrip at all — the reference's OPTIMIZE_CODE=0 design).
-            from .entropy.entropy_write import (
-                load_static_codes,
-                _static_dc_table,
-                _static_dc_depths,
-            )
+            from .entropy.entropy_write import load_static_codes
 
             self.meta = None
-            self.full_code, d_ac, self._dc_codes = load_static_codes()
-            # Placeholder until the device reports its candidate pick (the
-            # trailing element of `small`); result() resolves it.
-            self.dc_code = self._dc_codes[0]
-            self._d_dev = jnp.asarray(d_ac)
-            self._d_dc = jnp.asarray(_static_dc_table())
-            self._dc_depths = jnp.asarray(_static_dc_depths())
+            self._static_codes = sc = load_static_codes()
+            # Placeholders until the device reports its candidate picks
+            # (the trailing two elements of `small`); result() resolves.
+            self.full_code = sc.ac_codes[0]
+            self.dc_code = sc.dc_codes[0]
+            self._d_dev = jnp.asarray(sc.ac_tables)
+            self._d_dc = jnp.asarray(sc.dc_tables)
+            self._ac_depths = jnp.asarray(sc.ac_depths)
+            self._dc_depths = jnp.asarray(sc.dc_depths)
             self._ow_dc = 8192
             self._dispatch_b()
         else:
@@ -547,7 +545,8 @@ class DeviceEncodeJob:
 
         if self._static:
             g2 = 2 * (self._gpad + self._gd_pad)
-            totals = self._small_sync()[g2:-1]  # trailing entry: DC pick k
+            # Trailing two entries: the device's AC/DC candidate picks.
+            totals = self._small_sync()[g2:-2]
             if int(totals.max(initial=0)) > self.cap:
                 self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
                 self._dispatch_b()
@@ -600,7 +599,7 @@ class DeviceEncodeJob:
             out = analyze_pack_static(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
                 jnp.asarray(self.xb_arr), self._d_dev, self._d_dc,
-                self._dc_depths,
+                self._ac_depths, self._dc_depths,
                 cap=self.cap,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
@@ -633,7 +632,8 @@ class DeviceEncodeJob:
             out = analyze_pack_static_mesh(
                 jnp.asarray(self._up), jnp.asarray(self.yb_arr),
                 jnp.asarray(self.xb_arr), self.distp, self._d_dev,
-                self._d_dc, self._dc_depths, self.mesh, cap=self.cap,
+                self._d_dc, self._ac_depths, self._dc_depths, self.mesh,
+                cap=self.cap,
                 cfl=self.config.optimize_chroma_from_luma,
                 blocks=self.config.optimize_block_sizes,
                 ow_ac=self.ow, wcap_ac=self.wcap,
@@ -794,11 +794,13 @@ class DeviceEncodeJob:
 
     def result(self) -> bytes:
         if self._static:
-            # DCGlobal must serialize the candidate table the device packed
-            # with; the pick rides as the last element of `small` (the
-            # argmin never changes across ow/wcap re-dispatches — same
-            # histogram).
-            self.dc_code = self._dc_codes[int(self._small_sync()[-1])]
+            # ACGlobal/DCGlobal must serialize the candidate tables the
+            # device packed with; the picks ride as the last two elements
+            # of `small` (the argmins never change across ow/wcap
+            # re-dispatches — same histograms).
+            small = self._small_sync()
+            self.full_code = self._static_codes.ac_codes[int(small[-2])]
+            self.dc_code = self._static_codes.dc_codes[int(small[-1])]
         return assemble_codestream(
             None, self.dim, self.distp,
             ac_writers=self._ac_writers, ac_code=self.full_code,

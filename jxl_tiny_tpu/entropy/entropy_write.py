@@ -367,23 +367,43 @@ def build_dc_device_code(hist45: np.ndarray):
 _STATIC_CODES_CACHE = None
 
 
-def load_static_codes():
+class StaticCodes(
+    __import__("collections").namedtuple(
+        "StaticCodes",
+        "ac_codes ac_tables ac_depths dc_codes dc_tables dc_depths",
+    )
+):
+    """Candidate static codes for the one-pass tier.
+
+    *_codes: K-candidate EntropyCode lists (ACGlobal/DCGlobal
+    serialization); *_tables: [K, 9, 64] f32 factored device tables
+    (pack_kernels.table_lookup_packed); *_depths: [K, 64, 64] i32 emission
+    depth grids for the device's integer cost argmin
+    (dc_kernels.select_code_table)."""
+
+    __slots__ = ()
+
+
+def _depth_grid(code):
+    g = code.token_depths[code.context_map.astype(np.int64)]
+    grid = np.zeros((64, 64), np.int32)
+    grid[: g.shape[0]] = g
+    return grid
+
+
+def load_static_codes() -> StaticCodes:
     """Static entropy codes for the one-pass tier (EncoderConfig
     optimize_code=False) — the role of the reference's baked
     static_entropy_codes.h:502-971 tables, except ours are trained on the
     repo's test corpus by tools/gen_static_codes.py (smoothed so every
     format-possible symbol has a code).
 
-    DC-section statistics (gradient residuals) vary so much across content
-    and distance that one table costs +12-17% DC bits on photographs; the
-    tier therefore ships K candidate DC tables (content class x distance
-    blends) and the *device* picks the cheapest per image from the DC
-    histogram it already computes — compute-all-select, still a single
-    dispatch (dc_kernels.select_dc_table). AC statistics are stable
-    (+2-3%): one table.
-
-    Returns (ac_full_code, ac_d_table, dc_codes) — dc_codes is the
-    K-candidate list (K == 1 for legacy single-table files)."""
+    Token statistics vary across content class and distance (one blended
+    table costs +12-17% DC / +3-7% AC bits on photographs), so the tier
+    ships K candidate tables per code space and the *device* picks the
+    cheapest per image from the histograms it already computes —
+    compute-all-select, still a single dispatch
+    (dc_kernels.select_code_table)."""
     global _STATIC_CODES_CACHE
     if _STATIC_CODES_CACHE is None:
         import os
@@ -394,43 +414,46 @@ def load_static_codes():
             os.path.dirname(__file__), "..", "constants", "static_codes.npz"
         )
         data = np.load(path)
-        ac_full, d_table = build_ac_device_code(
-            data["ac_hist64"], ac_base64_map()
+        base_map = ac_base64_map()
+        ac_hists = (
+            data["ac_hists_k"] if "ac_hists_k" in data else data["ac_hist64"][None]
         )
         dc_hists = (
             data["dc_hists_k"] if "dc_hists_k" in data else data["dc_hist"][None]
         )
-        dc_codes, tabs, depth_grids = [], [], []
+        ac_codes, ac_tabs, dc_codes, dc_tabs = [], [], [], []
+        for h in ac_hists:
+            code, tab = build_ac_device_code(h, base_map)
+            ac_codes.append(code)
+            ac_tabs.append(tab)
         for h in dc_hists:
             code, tab = build_dc_device_code(h)
             dc_codes.append(code)
-            tabs.append(tab)
-            # Dense [64, 64] (ctx, token) -> depth grid for the device's
-            # integer cost argmin; contexts >= NUM_DC_CONTEXTS never occur.
-            g = code.token_depths[code.context_map.astype(np.int64)]
-            grid = np.zeros((64, 64), np.int32)
-            grid[: g.shape[0]] = g
-            depth_grids.append(grid)
-        _STATIC_CODES_CACHE = (
-            ac_full,
-            d_table,
-            dc_codes,
-            np.stack(tabs),
-            np.stack(depth_grids),
+            dc_tabs.append(tab)
+        _STATIC_CODES_CACHE = StaticCodes(
+            ac_codes=ac_codes,
+            ac_tables=np.stack(ac_tabs),
+            # The AC pick costs against the base-64 histogram, whose
+            # context space is exactly the 64 base clusters: grid row c =
+            # depths of base context c's cluster.
+            ac_depths=np.stack(
+                [
+                    _depth_grid(
+                        EntropyCode(
+                            context_map=np.asarray(t[0], np.uint8),
+                            depths=c.depths,
+                            bits=c.bits,
+                            token_depths=c.token_depths,
+                        )
+                    )
+                    for c, t in zip(ac_codes, ac_tabs)
+                ]
+            ),
+            dc_codes=dc_codes,
+            dc_tables=np.stack(dc_tabs),
+            dc_depths=np.stack([_depth_grid(c) for c in dc_codes]),
         )
-    return _STATIC_CODES_CACHE[:3]
-
-
-def _static_dc_table():
-    """[K, 9, 64] factored candidate tables for the device packer."""
-    load_static_codes()
-    return _STATIC_CODES_CACHE[3]
-
-
-def _static_dc_depths():
-    """[K, 64, 64] i32 per-candidate depth grids for device selection."""
-    load_static_codes()
-    return _STATIC_CODES_CACHE[4]
+    return _STATIC_CODES_CACHE
 
 
 def build_entropy_code_from_cluster_histograms(clustered) -> EntropyCode:

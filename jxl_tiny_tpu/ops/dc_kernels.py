@@ -337,15 +337,24 @@ def pack_all_sections(
     )
 
 
-def select_dc_table(hist64, dc_depths):
-    """Pick the cheapest DC candidate table on device (compute-all-select).
+def select_code_table(hist64, depths_k):
+    """Pick the cheapest candidate code table on device (compute-all-select).
 
-    hist64: [64, 64] u32 DC histogram (dc_hist); dc_depths: [K, 64, 64] i32
-    per-candidate (ctx, token) -> emission depth grids. Exact integer cost
-    (fits i32: <= ~143M DC tokens x depth 15 — a 2-gigapixel image), so the
-    argmin is deterministic and identical on every shard of a mesh."""
-    cost = (hist64.astype(jnp.int32)[None] * dc_depths).sum(axis=(1, 2))
-    return jnp.argmin(cost).astype(jnp.int32)
+    hist64: [64, 64] u32 token histogram; depths_k: [K, 64, 64] i32
+    per-candidate (ctx, token) -> emission depth grids. Exact integer
+    arithmetic, so the argmin is deterministic and identical on every shard
+    of a mesh. The cost is split into (hist>>4) and (hist&15) partial sums
+    so i32 never overflows up to ~2.2e9 tokens (depths <= 15; the low
+    partial is bounded by bins, 15*15*4096 < 2^20, and the argmin of
+    16*(hi - hi.min()) + lo equals the argmin of the true cost)."""
+    h = hist64.astype(jnp.int32)
+    hi = ((h >> 4)[None] * depths_k).sum(axis=(1, 2))
+    lo = ((h & 15)[None] * depths_k).sum(axis=(1, 2))
+    # Saturate the relative hi part at 2^30: exact whenever a candidate is
+    # within ~67M tokens-of-depth above the best (always, in practice);
+    # beyond that both contenders are far from the argmin anyway.
+    rel = jnp.minimum(hi - hi.min(), (1 << 30) // 16)
+    return jnp.argmin(16 * rel + lo).astype(jnp.int32)
 
 
 @functools.partial(
@@ -373,6 +382,7 @@ def analyze_pack_static(
     xb_valid,
     d_ac,
     d_dc,
+    ac_depths,
     dc_depths,
     distance,
     inv_scale,
@@ -392,27 +402,28 @@ def analyze_pack_static(
     """One-pass tier: the whole encode (analysis + section packing with
     static code tables) as a single device program and roundtrip — the
     reference's OPTIMIZE_CODE=0 design (no histogram pass to the host,
-    static_entropy_codes.h role). d_dc holds K candidate DC tables
-    [K, 9, 64]; the device picks the cheapest per image from the DC
-    histogram it already computes (select_dc_table) and reports the pick as
-    the last element of `small` so the host serializes the same table into
-    DCGlobal."""
+    static_entropy_codes.h role). d_ac / d_dc hold K candidate tables
+    [K, 9, 64] each; the device picks the cheapest per image from the
+    histograms it already computes (select_code_table) and reports the
+    picks as the last two elements of `small` ([..., totals, k_ac, k_dc])
+    so the host serializes the same tables into ACGlobal / DCGlobal."""
     from .pipeline_jax import analyze_image_packed
 
     a = analyze_image_packed(
         image, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
         x_qm_mul, cap, cfl, blocks,
     )
-    k = select_dc_table(a["hists"][1], dc_depths)
+    k_ac = select_code_table(a["hists"][0], ac_depths)
+    k_dc = select_code_table(a["hists"][1], dc_depths)
     b = pack_all_sections(
-        a["stream"][:, :cap], a["totals"], d_ac, a["dc_layout"],
-        jnp.take(d_dc, k, axis=0),
+        a["stream"][:, :cap], a["totals"], jnp.take(d_ac, k_ac, axis=0),
+        a["dc_layout"], jnp.take(d_dc, k_dc, axis=0),
         ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
         compact_ac=compact_ac, compact_dc=compact_dc,
     )
     b["totals"] = a["totals"]
     b["small"] = jnp.concatenate(
-        [b["small"], a["totals"].astype(jnp.int32), k[None]]
+        [b["small"], a["totals"].astype(jnp.int32), k_ac[None], k_dc[None]]
     )
     return b
 

@@ -236,21 +236,21 @@ def analyze_image_packed_mesh(
 
 
 def analyze_pack_static_mesh(
-    image, yb_pad, xb_pad, distp, d_ac, d_dc, dc_depths, mesh: Mesh, cap,
-    cfl, blocks, ow_ac, wcap_ac, ow_dc, wcap_dc,
+    image, yb_pad, xb_pad, distp, d_ac, d_dc, ac_depths, dc_depths,
+    mesh: Mesh, cap, cfl, blocks, ow_ac, wcap_ac, ow_dc, wcap_dc,
     compact_ac=True, compact_dc=True, ysize=None, xsize=None,
 ):
     """One-pass static tier under shard_map: the whole encode (analysis +
     AC/DC section packing with static code tables) in a single sharded
     device program — no host histogram roundtrip, no second dispatch; the
     mesh twin of dc_kernels.analyze_pack_static (OPTIMIZE_CODE=0,
-    static_entropy_codes.h role). The DC-candidate pick (select_dc_table)
-    runs on the *psum'd* DC histogram — an exact integer argmin, so every
-    shard selects the same table and the bytes match single-chip.
+    static_entropy_codes.h role). The candidate picks (select_code_table)
+    run on the *psum'd* histograms — exact integer argmins, so every shard
+    selects the same tables and the bytes match single-chip.
 
     Returns dict(ac_words [n,wcap_ac] / dc_words [n,wcap_dc] (or [Gpad,ow]
     rows when uncompacted), small = [ac_bits, ac_offs(shard-local),
-    dc_bits, dc_offs(shard-local), totals, k] concatenated)."""
+    dc_bits, dc_offs(shard-local), totals, k_ac, k_dc] concatenated)."""
     from ..ops.pack_kernels import _pack_ac_impl
     from ..ops import dc_kernels as DK
 
@@ -259,32 +259,35 @@ def analyze_pack_static_mesh(
     gpad = yb_pad.shape[0]
     g_img, gps, gd_img, gd_pad, gd_ps = _mesh_geometry(ysize, xsize, gpad, n)
 
-    def shard_fn(img, yb_l, xb_l, da, dd, ddep):
+    def shard_fn(img, yb_l, xb_l, da, dd, adep, ddep):
         out, my_dc = _analysis_shard_body(
             img, yb_l, xb_l, distp, cap, cfl, blocks, ysize, xsize,
             g_img, gpad, gps, gd_img, gd_pad, gd_ps,
         )
+        achist = jax.lax.psum(out.pop("hist").astype(jnp.int32), "g")
         dchist = jax.lax.psum(DK.dc_hist(my_dc).astype(jnp.int32), "g")
-        k = DK.select_dc_table(dchist.astype(jnp.uint32), ddep)
+        k_ac = DK.select_code_table(achist.astype(jnp.uint32), adep)
+        k_dc = DK.select_code_table(dchist.astype(jnp.uint32), ddep)
         ac = _pack_ac_impl(
-            out["stream"][:, :cap], out["totals"], da, ow_ac, wcap_ac,
-            compact_ac,
+            out["stream"][:, :cap], out["totals"],
+            jnp.take(da, k_ac, axis=0), ow_ac, wcap_ac, compact_ac,
         )
         dc = DK._pack_dc_impl(
-            my_dc, jnp.take(dd, k, axis=0), ow_dc, wcap_dc, compact_dc
+            my_dc, jnp.take(dd, k_dc, axis=0), ow_dc, wcap_dc, compact_dc
         )
         return dict(
             ac_words=ac["words"][None] if compact_ac else ac["words"],
             dc_words=dc["words"][None] if compact_dc else dc["words"],
             ac_bits=ac["bits"], ac_offs=ac["word_offs"],
             dc_bits=dc["bits"], dc_offs=dc["word_offs"],
-            totals=out["totals"], k=k[None],
+            totals=out["totals"],
+            k=jnp.stack([k_ac, k_dc]),
         )
 
     f = shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P("g"), P("g"), P(), P(), P()),
+        in_specs=(P(), P("g"), P("g"), P(), P(), P(), P()),
         out_specs=dict(
             ac_words=P("g"), dc_words=P("g"),
             ac_bits=P("g"), ac_offs=P("g"),
@@ -300,6 +303,7 @@ def analyze_pack_static_mesh(
         jax.device_put(xb_pad, shg),
         jax.device_put(d_ac, rep),
         jax.device_put(d_dc, rep),
+        jax.device_put(ac_depths, rep),
         jax.device_put(dc_depths, rep),
     )
     out["small"] = jnp.concatenate(

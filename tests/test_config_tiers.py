@@ -62,19 +62,14 @@ def test_static_codes_size_overhead_bounded():
     assert len(d_one) < len(d_two) * 1.25
 
 
-def test_static_dc_candidate_selection_matches_host():
-    """The one-pass tier ships K candidate DC tables and the device picks
-    the cheapest per image (dc_kernels.select_dc_table, exact integer
-    argmin). The pick reported in `small` must equal the host's argmin over
-    the same histogram, and DCGlobal must serialize that candidate."""
-    import jax.numpy as jnp
-
+def test_static_candidate_selection_matches_host():
+    """The one-pass tier ships K candidate AC and DC tables and the device
+    picks the cheapest per image (dc_kernels.select_code_table, exact
+    integer argmin). The picks reported in `small` must equal the host's
+    argmin over the same histograms, and ACGlobal/DCGlobal must serialize
+    those candidates."""
     from jxl_tiny_tpu.encoder import DeviceEncodeJob
-    from jxl_tiny_tpu.entropy.entropy_write import (
-        _static_dc_depths,
-        load_static_codes,
-    )
-    from jxl_tiny_tpu.ops.dc_kernels import dc_hist
+    from jxl_tiny_tpu.entropy.entropy_write import load_static_codes
 
     img = _image()
     job = DeviceEncodeJob(
@@ -82,27 +77,33 @@ def test_static_dc_candidate_selection_matches_host():
     )
     job.pack()
     data = job.result()
-    k_dev = int(job._small_sync()[-1])
+    small = job._small_sync()
+    k_ac, k_dc = int(small[-2]), int(small[-1])
 
-    # Host recomputation from the two-pass pipeline's DC histogram.
+    # Host recomputation from the two-pass pipeline's histograms
+    # (select_code_table's split-sum argmin == the plain i64 argmin).
     ref = DeviceEncodeJob(img, 1.0, upload_dtype=None)
     ref.pack()
-    hist = np.asarray(ref.out_a["hists"])[1]
-    depths = _static_dc_depths()
-    costs = (hist.astype(np.int64)[None] * depths).sum(axis=(1, 2))
-    assert k_dev == int(np.argmin(costs)), (k_dev, costs)
+    hists = np.asarray(ref.out_a["hists"]).astype(np.int64)
+    sc = load_static_codes()
+    for k_dev, hist, depths in (
+        (k_ac, hists[0], sc.ac_depths),
+        (k_dc, hists[1], sc.dc_depths),
+    ):
+        costs = (hist[None] * depths).sum(axis=(1, 2))
+        assert k_dev == int(np.argmin(costs)), (k_dev, costs)
 
-    _, _, dc_codes = load_static_codes()
-    assert len(dc_codes) > 1
-    assert job.dc_code is dc_codes[k_dev]
+    assert len(sc.ac_codes) > 1 and len(sc.dc_codes) > 1
+    assert job.full_code is sc.ac_codes[k_ac]
+    assert job.dc_code is sc.dc_codes[k_dc]
     assert decode_jxl(data) is not None
 
 
 def test_static_codes_photographic_overhead():
     """On photographic content — what the corpus-trained tables are for —
-    the static tier must stay within 10% of the two-pass size at the default
-    distance (measured +8.0% on this crop with the device-selected DC
-    candidate; +3.5% at d=0.5, +5.8% at d=2.0)."""
+    the static tier must stay within 6% of the two-pass size at the default
+    distance (measured +3.4% on this crop with device-selected AC and DC
+    candidates; +1.4% at d=0.5, +5.2% at d=2.0)."""
     from jxl_tiny_tpu.io.pfm import read_pfm
 
     import os
@@ -113,4 +114,4 @@ def test_static_codes_photographic_overhead():
     d_one = encode_image_device(
         img, 1.0, upload_dtype=None, config=EncoderConfig(optimize_code=False)
     )
-    assert len(d_one) < len(d_two) * 1.10, (len(d_one), len(d_two))
+    assert len(d_one) < len(d_two) * 1.06, (len(d_one), len(d_two))

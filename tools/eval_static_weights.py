@@ -7,10 +7,10 @@ static scheme vs its own optimal two-pass code. No encodes — pure
 histogram arithmetic, so table/weighting changes evaluate in seconds.
 
 The shipped scheme (gen_static_codes.py / entropy_write.load_static_codes):
-  AC: one blended table (IMAGE_WEIGHTS x DIST_WEIGHTS, +1-smoothed).
-  DC: 12 candidate tables (content class x distance, smoothed only over
-      format-possible tokens); the device picks the cheapest per image
-      (dc_kernels.select_dc_table) — evaluated here as the same argmin.
+  AC and DC each ship 12 candidate tables (content class x distance; DC
+  smoothed only over format-possible tokens); the device picks the
+  cheapest per image (dc_kernels.select_code_table) — evaluated here as
+  the same argmin.
 
   python tools/eval_static_weights.py
 """
@@ -56,23 +56,31 @@ def main():
         "static_codes.npz",
     )
     tables = np.load(path)
-    code_ac = build_entropy_code(tables["ac_hist64"])
+    ac_codes = [build_entropy_code(h) for h in tables["ac_hists_k"]]
     dc_codes = [build_entropy_code(h) for h in tables["dc_hists_k"]]
 
     print(f"shipped static tables vs per-image two-pass (token bits):")
-    print(f"{'member':12s} {'d':>4s} {'AC':>7s} {'DC(best-of-K)':>14s} {'pick':>4s}")
+    print(
+        f"{'member':12s} {'d':>4s} {'AC(best-of-K)':>14s} "
+        f"{'DC(best-of-K)':>14s} {'picks':>6s}"
+    )
     ac_all, dc_all = [], []
     for di, dist in enumerate(DISTS):
         for ii in range(ni):
             oa = _bits(ac[di, ii], _build_own(ac[di, ii]))
             od = _bits(dc[di, ii], _build_own(dc[di, ii]))
-            ra = _bits(ac[di, ii], code_ac) / max(oa, 1) - 1
-            costs = [_bits(dc[di, ii], c) for c in dc_codes]
-            k = int(np.argmin(costs))
-            rd = costs[k] / max(od, 1) - 1
+            ca = [_bits(ac[di, ii], c) for c in ac_codes]
+            ka = int(np.argmin(ca))
+            ra = ca[ka] / max(oa, 1) - 1
+            cd = [_bits(dc[di, ii], c) for c in dc_codes]
+            kd = int(np.argmin(cd))
+            rd = cd[kd] / max(od, 1) - 1
             ac_all.append(ra)
             dc_all.append(rd)
-            print(f"{names[ii]:12s} {dist:4.1f} {ra:+7.1%} {rd:+14.1%} {k:4d}")
+            print(
+                f"{names[ii]:12s} {dist:4.1f} {ra:+14.1%} {rd:+14.1%} "
+                f"{ka:3d}/{kd:d}"
+            )
     print(
         f"{'corpus avg':12s}      {np.mean(ac_all):+7.1%} "
         f"{np.mean(dc_all):+14.1%}"

@@ -174,25 +174,29 @@ def main():
     ac_hist = np.minimum(np.round(ac_hist) + 1, 2**31).astype(np.uint32)
     dc_hist = np.minimum(np.round(dc_hist) + mask, 2**31).astype(np.uint32)
 
-    # DC candidate tables for the device's per-image compute-all-select
-    # (dc_kernels.select_dc_table): DC gradient-residual statistics vary far
-    # more across content and distance than AC's (one blended table costs
-    # +12-17% DC bits on photographs; the best of these class x distance
-    # blends costs +4-7%, corpus avg ~0 — tools/eval_static_weights.py).
+    # Candidate tables for the device's per-image compute-all-select
+    # (dc_kernels.select_code_table): token statistics vary across content
+    # class and distance — one blended table costs +12-17% DC / +3-7% AC
+    # bits on photographs; the best of these class x distance blends costs
+    # +4-7% DC / +0.6-1.6% AC, corpus avg ~0 (tools/eval_static_weights.py).
     classes = {
         "photo": (0, 2),        # photo8mp, photo256
         "smooth": (1, 3, 4),    # gradient512, odd131x77, tiny64
         "noise": (5, 6, 7),     # pink-spectrum synthetics
         "graphics": (8,),       # hard-edge composite
     }
-    dc_k = []
+    ac_k, dc_k = [], []
     for cname, idxs in classes.items():
         for di in range(dc.shape[0]):
-            t = np.zeros_like(dc[0, 0], np.float64)
+            ta = np.zeros_like(ac[0, 0], np.float64)
+            td = np.zeros_like(dc[0, 0], np.float64)
             for ii in idxs:
                 if ii < n_img:
-                    t += dc[di, ii] * (1e6 / max(dc[di, ii].sum(), 1.0))
-            dc_k.append(np.minimum(np.round(t) + mask, 2**31).astype(np.uint32))
+                    ta += ac[di, ii] * (1e6 / max(ac[di, ii].sum(), 1.0))
+                    td += dc[di, ii] * (1e6 / max(dc[di, ii].sum(), 1.0))
+            ac_k.append(np.minimum(np.round(ta) + 1, 2**31).astype(np.uint32))
+            dc_k.append(np.minimum(np.round(td) + mask, 2**31).astype(np.uint32))
+    ac_hists_k = np.stack(ac_k)
     dc_hists_k = np.stack(dc_k)
 
     out = os.path.join(
@@ -200,9 +204,13 @@ def main():
         "static_codes.npz",
     )
     np.savez_compressed(
-        out, ac_hist64=ac_hist, dc_hist=dc_hist, dc_hists_k=dc_hists_k
+        out, ac_hist64=ac_hist, dc_hist=dc_hist,
+        ac_hists_k=ac_hists_k, dc_hists_k=dc_hists_k,
     )
-    print(f"wrote {out} (dc candidates: {dc_hists_k.shape[0]})")
+    print(
+        f"wrote {out} (candidates: ac {ac_hists_k.shape[0]}, "
+        f"dc {dc_hists_k.shape[0]})"
+    )
 
 
 if __name__ == "__main__":
