@@ -10,6 +10,7 @@ import numpy as np
 
 from . import constants as C
 from .common import (
+    DEFAULT_CONFIG,
     ImageDim,
     clamp_distance,
     compute_distance_params,
@@ -880,6 +881,7 @@ def encode_batch_device(
     cap: int = 32768,
     ow: int = 8192,
     mesh=None,
+    config=None,
 ) -> list:
     """Batched flagship encode: N same-sized images in ONE pair of device
     programs — one upload, one histogram download, one section download for
@@ -896,7 +898,12 @@ def encode_batch_device(
     analogue of the reference's per-image ThreadPool fan-out,
     base/data_parallel.h). Bytes are identical to the single-chip batch
     for any mesh shape (tested). N is padded to a device multiple with
-    zero images internally."""
+    zero images internally.
+
+    config: capability tiers. With optimize_code=False the whole batch runs
+    as ONE fused device dispatch (analysis + per-image candidate selection
+    + section packing, analyze_pack_batch_static) — no histogram download,
+    no host code build."""
     import jax.numpy as jnp
     from .ops.pipeline_jax import analyze_batch_packed
     from .ops import pack_kernels as PK
@@ -940,12 +947,16 @@ def encode_batch_device(
             upload_dtype = None
         if upload_dtype is not None:
             batch = batch.astype(upload_dtype)
+    config = config or DEFAULT_CONFIG
+    static = not config.optimize_code
     kwargs = dict(
         distance=float(distp.distance),
         inv_scale=float(distp.inv_scale),
         scale=float(distp.scale),
         scale_dc=float(distp.scale_dc),
         x_qm_mul=float(distp.x_qm_mul),
+        cfl=config.optimize_chroma_from_luma,
+        blocks=config.optimize_block_sizes,
     )
 
     def run_a(c):
@@ -961,25 +972,33 @@ def encode_batch_device(
             cap=c, **kwargs,
         )
 
-    out_a = run_a(cap)
-    totals = np.asarray(out_a["totals"])
-    if int(totals.max(initial=0)) > cap:
-        cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+    if static:
+        from .entropy.entropy_write import load_static_codes
+
+        sc = load_static_codes()
+        stream = totals_d = out_a = None
+    else:
         out_a = run_a(cap)
-    hists = np.asarray(out_a["hists"])  # [N, 2, 64, 64]
+        totals = np.asarray(out_a["totals"])
+        if int(totals.max(initial=0)) > cap:
+            cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+            out_a = run_a(cap)
+        hists = np.asarray(out_a["hists"])  # [N, 2, 64, 64]
 
-    base_map = ac_base64_map()
-    full_codes, dc_codes = [], []
-    d_ac = np.empty((n, 9, 64), np.float32)
-    d_dc = np.empty((n, 9, 64), np.float32)
-    for k in range(n):
-        fc, d_ac[k] = build_ac_device_code(hists[k, 0], base_map)
-        dcode, d_dc[k] = build_dc_device_code(hists[k, 1][: C.NUM_DC_CONTEXTS])
-        full_codes.append(fc)
-        dc_codes.append(dcode)
+        base_map = ac_base64_map()
+        full_codes, dc_codes = [], []
+        d_ac = np.empty((n, 9, 64), np.float32)
+        d_dc = np.empty((n, 9, 64), np.float32)
+        for k in range(n):
+            fc, d_ac[k] = build_ac_device_code(hists[k, 0], base_map)
+            dcode, d_dc[k] = build_dc_device_code(
+                hists[k, 1][: C.NUM_DC_CONTEXTS]
+            )
+            full_codes.append(fc)
+            dc_codes.append(dcode)
 
-    stream = out_a["stream"][:, :cap]
-    totals_d = out_a["totals"]
+        stream = out_a["stream"][:, :cap]
+        totals_d = out_a["totals"]
     ow_dc = 8192
     compact_ac = compact_dc = True
     fetcher = _BatchFetcher(n_shards)
@@ -988,7 +1007,33 @@ def encode_batch_device(
     while True:
         wcap = min(1 << int(gps * ow).bit_length(), 2 * 1024 * 1024)
         wcap_dc = min(1 << int(gdps * ow_dc).bit_length(), 2 * 1024 * 1024)
-        if mesh is not None:
+        if static:
+            # One fused dispatch: analysis + per-image candidate picks +
+            # section packing (ow/wcap retries re-run the whole program;
+            # picks are histogram-determined, so they never change).
+            pk = dict(
+                cap=cap, ow_ac=ow, wcap_ac=wcap, ow_dc=ow_dc,
+                wcap_dc=wcap_dc, compact_ac=compact_ac,
+                compact_dc=compact_dc,
+            )
+            if mesh is not None:
+                from .parallel.sharding import analyze_pack_batch_static_mesh
+
+                out_b = analyze_pack_batch_static_mesh(
+                    jnp.asarray(batch), jnp.asarray(yb_flat),
+                    jnp.asarray(xb_flat), sc.ac_tables, sc.dc_tables,
+                    sc.ac_depths, sc.dc_depths, mesh, **pk, **kwargs,
+                )
+            else:
+                from .ops.dc_kernels import analyze_pack_batch_static
+
+                out_b = analyze_pack_batch_static(
+                    jnp.asarray(batch), jnp.asarray(yb_flat),
+                    jnp.asarray(xb_flat), jnp.asarray(sc.ac_tables),
+                    jnp.asarray(sc.dc_tables), jnp.asarray(sc.ac_depths),
+                    jnp.asarray(sc.dc_depths), **pk, **kwargs,
+                )
+        elif mesh is not None:
             from .parallel.sharding import pack_batch_sections_mesh
 
             out_b = pack_batch_sections_mesh(
@@ -1005,6 +1050,13 @@ def encode_batch_device(
             )
         small = np.asarray(out_b["small"])
         ng, ngd = n * g, n * gd
+        if static:
+            totals = small[2 * ng + 2 * ngd : 3 * ng + 2 * ngd]
+            if int(totals.max(initial=0)) > cap:
+                cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
+                continue
+            full_codes = [sc.ac_codes[k] for k in small[-2 * n : -n]]
+            dc_codes = [sc.dc_codes[k] for k in small[-n:]]
         ac_bits = small[:ng]
         ac_offs = small[ng : 2 * ng]
         dc_bits = small[2 * ng : 2 * ng + ngd]

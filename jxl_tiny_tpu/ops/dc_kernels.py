@@ -457,3 +457,72 @@ def pack_batch_sections(
             [ac["bits"], ac["word_offs"], dc["bits"], dc["word_offs"]]
         ),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "distance",
+        "inv_scale",
+        "scale",
+        "scale_dc",
+        "x_qm_mul",
+        "cap",
+        "cfl",
+        "blocks",
+        "ow_ac",
+        "wcap_ac",
+        "ow_dc",
+        "wcap_dc",
+        "compact_ac",
+        "compact_dc",
+    ),
+)
+def analyze_pack_batch_static(
+    images,
+    yb_valid,
+    xb_valid,
+    d_ac,
+    d_dc,
+    ac_depths,
+    dc_depths,
+    distance,
+    inv_scale,
+    scale,
+    scale_dc,
+    x_qm_mul,
+    cap,
+    cfl,
+    blocks,
+    ow_ac,
+    wcap_ac,
+    ow_dc,
+    wcap_dc,
+    compact_ac=True,
+    compact_dc=True,
+):
+    """One-pass tier for a batch: N same-sized images analyzed, candidate-
+    selected, and section-packed in ONE device dispatch (the batch twin of
+    analyze_pack_static). Each image picks its own cheapest AC/DC candidate
+    tables from its per-image histograms (select_code_table vmapped over
+    the image axis). `small` layout:
+    [ac_bits, ac_offs, dc_bits, dc_offs, totals, k_ac[N], k_dc[N]]."""
+    from .pipeline_jax import analyze_batch_packed
+
+    a = analyze_batch_packed(
+        images, yb_valid, xb_valid, distance, inv_scale, scale, scale_dc,
+        x_qm_mul, cap, cfl, blocks,
+    )
+    k_ac = jax.vmap(lambda h: select_code_table(h, ac_depths))(a["hists"][:, 0])
+    k_dc = jax.vmap(lambda h: select_code_table(h, dc_depths))(a["hists"][:, 1])
+    b = pack_batch_sections(
+        a["stream"][:, :cap], a["totals"], jnp.take(d_ac, k_ac, axis=0),
+        a["dc_layout"], jnp.take(d_dc, k_dc, axis=0),
+        ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
+        compact_ac=compact_ac, compact_dc=compact_dc,
+    )
+    b["totals"] = a["totals"]
+    b["small"] = jnp.concatenate(
+        [b["small"], a["totals"].astype(jnp.int32), k_ac, k_dc]
+    )
+    return b

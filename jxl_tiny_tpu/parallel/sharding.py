@@ -457,6 +457,69 @@ def pack_batch_sections_mesh(
     return out
 
 
+def analyze_pack_batch_static_mesh(
+    batch, yb_flat, xb_flat, d_ac, d_dc, ac_depths, dc_depths, mesh: Mesh,
+    cap, ow_ac, wcap_ac, ow_dc, wcap_dc,
+    compact_ac=True, compact_dc=True, **kwargs,
+):
+    """One-pass batch tier on the image-sharded mesh: each device runs the
+    fused analyze+select+pack program (dc_kernels.analyze_pack_batch_static)
+    on its images — no collectives at all (per-image histograms, picks, and
+    sections are self-contained), so bytes match single-chip by
+    construction. Same output contract as pack_batch_sections_mesh, with
+    `small` gaining [totals, k_ac, k_dc] (image-sharded picks)."""
+    from ..ops.dc_kernels import analyze_pack_batch_static
+
+    shard_map = _get_shard_map()
+    n = mesh.devices.size
+    assert batch.shape[0] % n == 0
+
+    def shard_fn(bt, yb, xb, da, dd, adep, ddep):
+        out = analyze_pack_batch_static(
+            bt, yb, xb, da, dd, adep, ddep, cap=cap,
+            ow_ac=ow_ac, wcap_ac=wcap_ac, ow_dc=ow_dc, wcap_dc=wcap_dc,
+            compact_ac=compact_ac, compact_dc=compact_dc, **kwargs,
+        )
+        n_img = bt.shape[0]
+        small = out.pop("small")
+        out["k_ac"] = small[-2 * n_img : -n_img]
+        out["k_dc"] = small[-n_img:]
+        if compact_ac:
+            out["ac_words"] = out["ac_words"][None]
+        if compact_dc:
+            out["dc_words"] = out["dc_words"][None]
+        return out
+
+    f = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("g"), P("g"), P("g"), P(), P(), P(), P()),
+        out_specs=dict(
+            ac_words=P("g"), dc_words=P("g"),
+            ac_bits=P("g"), ac_offs=P("g"),
+            dc_bits=P("g"), dc_offs=P("g"), totals=P("g"),
+            k_ac=P("g"), k_dc=P("g"),
+        ),
+        check_vma=False,
+    )
+    rep = NamedSharding(mesh, P())
+    shg = NamedSharding(mesh, P("g"))
+    out = jax.jit(f)(
+        jax.device_put(batch, shg),
+        jax.device_put(yb_flat, shg),
+        jax.device_put(xb_flat, shg),
+        jax.device_put(jnp.asarray(d_ac), rep),
+        jax.device_put(jnp.asarray(d_dc), rep),
+        jax.device_put(jnp.asarray(ac_depths), rep),
+        jax.device_put(jnp.asarray(dc_depths), rep),
+    )
+    out["small"] = jnp.concatenate(
+        [out["ac_bits"], out["ac_offs"], out["dc_bits"], out["dc_offs"],
+         out["totals"].astype(jnp.int32), out.pop("k_ac"), out.pop("k_dc")]
+    )
+    return out
+
+
 def extract_groups_device(img):
     from ..ops.pipeline_jax import extract_groups_device as _e
 

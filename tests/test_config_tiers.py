@@ -99,6 +99,32 @@ def test_static_candidate_selection_matches_host():
     assert decode_jxl(data) is not None
 
 
+def test_static_batch_matches_single_images():
+    """The fused one-dispatch batch static program (per-image candidate
+    selection vmapped over the image axis) must produce the same bytes as
+    per-image static encodes."""
+    from jxl_tiny_tpu.encoder import encode_batch_device
+
+    cfg = EncoderConfig(optimize_code=False)
+    rng = np.random.RandomState(1)
+    imgs = [
+        np.clip(
+            rng.rand(3, 160, 200).astype(np.float32) * 0.5 + 0.2 + i * 0.1,
+            0,
+            1,
+        )
+        for i in range(2)
+    ]
+    singles = [
+        encode_image_device(im, 1.0, upload_dtype=None, config=cfg)
+        for im in imgs
+    ]
+    batch = encode_batch_device(imgs, 1.0, upload_dtype=None, config=cfg)
+    assert batch == singles
+    for b in batch:
+        assert decode_jxl(b) is not None
+
+
 def test_static_codes_photographic_overhead():
     """On photographic content — what the corpus-trained tables are for —
     the static tier must stay within 6% of the two-pass size at the default

@@ -235,3 +235,15 @@ def test_batch_mesh_byte_identical_to_single_device():
     )
     assert len(ref) == len(d1) == len(d8) == 3
     assert ref == d1 == d8
+
+    # Static tier: the fused analyze+select+pack batch program, padded
+    # 3-over-8 included.
+    from jxl_tiny_tpu.common import EncoderConfig
+
+    cfg = EncoderConfig(optimize_code=False)
+    ref_s = encode_batch_device(imgs, 1.0, upload_dtype=None, config=cfg)
+    d8_s = encode_batch_device(
+        imgs, 1.0, upload_dtype=None, config=cfg,
+        mesh=make_mesh(jax.devices()[:8]),
+    )
+    assert ref_s == d8_s and ref_s != ref

@@ -75,6 +75,13 @@ def main():
         ("batched[0]", "batched[1]"), encode_batch_device([img, img * 0.7], 1.0)
     ):
         check(name, data, img if name.endswith("[0]") else img * 0.7)
+    check(
+        "batch static (fused single dispatch)",
+        encode_batch_device(
+            [img, img * 0.7], 1.0, config=EncoderConfig(optimize_code=False)
+        )[0],
+        img,
+    )
     check("pipelined pair[0]", list(encode_images_device([img, odd]))[0], img)
     check("mesh (1 real chip)", encode_image_device_mesh(img, 1.0), img)
     print(f"all paths ok in {time.time()-t0:.1f}s")
