@@ -290,8 +290,6 @@ def dc_context_token_masks():
       ctx 11-44   DC gradient residual; quant_dc clamps at
                   +/-16383 (saturating quantizer)              -> all 64
     """
-    import jxl_tiny_tpu.constants as C
-
     m = np.zeros((C.NUM_DC_CONTEXTS, C.ALPHABET_SIZE), bool)
     m[0, 8] = True
     m[1:7, :36] = True

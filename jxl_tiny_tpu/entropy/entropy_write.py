@@ -7,6 +7,7 @@ trees, RLE tree-of-trees, context maps coded through a nested prefix code.
 These are bitstream-format obligations; a conforming decoder reads exactly
 this layout.
 """
+import collections
 import dataclasses
 
 import numpy as np
@@ -368,7 +369,7 @@ _STATIC_CODES_CACHE = None
 
 
 class StaticCodes(
-    __import__("collections").namedtuple(
+    collections.namedtuple(
         "StaticCodes",
         "ac_codes ac_tables ac_depths dc_codes dc_tables dc_depths",
     )
@@ -426,8 +427,24 @@ def load_static_codes() -> StaticCodes:
             code, tab = build_ac_device_code(h, base_map)
             ac_codes.append(code)
             ac_tabs.append(tab)
+        from ..bitstream.sections import dc_context_token_masks
+
+        mask = dc_context_token_masks()
         for h in dc_hists:
             code, tab = build_dc_device_code(h)
+            # Drift guard: every format-possible token must have a code in
+            # every candidate — a possible token with depth 0 would pack 0
+            # bits on device and corrupt the stream with no error anywhere
+            # (the masks in sections.dc_context_token_masks must track the
+            # emitters in sections.build_dc_group_section).
+            d = code.depths[code.context_map[: mask.shape[0]].astype(np.int64)]
+            if not (d[mask] > 0).all():
+                raise AssertionError(
+                    "static DC candidate lacks a code for a format-possible "
+                    "token; regenerate tables (tools/gen_static_codes.py) "
+                    "and keep dc_context_token_masks in sync with the "
+                    "DC-section emitters"
+                )
             dc_codes.append(code)
             dc_tabs.append(tab)
         _STATIC_CODES_CACHE = StaticCodes(

@@ -344,12 +344,13 @@ def select_code_table(hist64, depths_k):
     per-candidate (ctx, token) -> emission depth grids. Exact integer
     arithmetic, so the argmin is deterministic and identical on every shard
     of a mesh. The cost is split into (hist>>4) and (hist&15) partial sums
-    so i32 never overflows up to ~2.2e9 tokens (depths <= 15; the low
-    partial is bounded by bins, 15*15*4096 < 2^20, and the argmin of
+    — shifted in the u32 domain, so single bins up to 2^32-1 stay exact —
+    and i32 never overflows up to ~2.2e9 total tokens (depths <= 15; the
+    low partial is bounded by bins, 15*15*4096 < 2^20, and the argmin of
     16*(hi - hi.min()) + lo equals the argmin of the true cost)."""
-    h = hist64.astype(jnp.int32)
-    hi = ((h >> 4)[None] * depths_k).sum(axis=(1, 2))
-    lo = ((h & 15)[None] * depths_k).sum(axis=(1, 2))
+    h = hist64.astype(jnp.uint32)
+    hi = ((h >> 4).astype(jnp.int32)[None] * depths_k).sum(axis=(1, 2))
+    lo = ((h & 15).astype(jnp.int32)[None] * depths_k).sum(axis=(1, 2))
     # Saturate the relative hi part at 2^30: exact whenever a candidate is
     # within ~67M tokens-of-depth above the best (always, in practice);
     # beyond that both contenders are far from the argmin anyway.

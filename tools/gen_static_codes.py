@@ -171,6 +171,14 @@ def main():
     from jxl_tiny_tpu.bitstream.sections import dc_context_token_masks
 
     mask = dc_context_token_masks()
+    # Drift guard: if the corpus ever emits a token the masks call
+    # impossible, the masks no longer match the DC-section emitters and the
+    # static tier would assign it no code (corrupt stream, no error).
+    outside = float((dc_hist * ~mask).sum())
+    assert outside == 0.0, (
+        f"{outside} corpus DC tokens fall outside dc_context_token_masks — "
+        "update sections.dc_context_token_masks to match the emitters"
+    )
     ac_hist = np.minimum(np.round(ac_hist) + 1, 2**31).astype(np.uint32)
     dc_hist = np.minimum(np.round(dc_hist) + mask, 2**31).astype(np.uint32)
 
@@ -187,13 +195,19 @@ def main():
     }
     ac_k, dc_k = [], []
     for cname, idxs in classes.items():
+        members = [ii for ii in idxs if ii < n_img]
+        if not members:
+            # A memberless class would ship degenerate uniform tables that
+            # waste candidate slots; skip it (fewer, meaningful candidates).
+            print(f"class {cname!r} has no corpus members; skipped",
+                  file=sys.stderr)
+            continue
         for di in range(dc.shape[0]):
             ta = np.zeros_like(ac[0, 0], np.float64)
             td = np.zeros_like(dc[0, 0], np.float64)
-            for ii in idxs:
-                if ii < n_img:
-                    ta += ac[di, ii] * (1e6 / max(ac[di, ii].sum(), 1.0))
-                    td += dc[di, ii] * (1e6 / max(dc[di, ii].sum(), 1.0))
+            for ii in members:
+                ta += ac[di, ii] * (1e6 / max(ac[di, ii].sum(), 1.0))
+                td += dc[di, ii] * (1e6 / max(dc[di, ii].sum(), 1.0))
             ac_k.append(np.minimum(np.round(ta) + 1, 2**31).astype(np.uint32))
             dc_k.append(np.minimum(np.round(td) + mask, 2**31).astype(np.uint32))
     ac_hists_k = np.stack(ac_k)

@@ -4,7 +4,7 @@
 #   bash tools/hw_window.sh [outdir]
 # Produces, under $outdir (default /tmp/hw_r2):
 #   bench.json            headline bench.py line
-#   bench_configs.json    per-config BASELINE rows (merged into tools/)
+#   configs.json          per-config BASELINE rows (also merged into tools/bench_configs.json)
 #   analysis.log          program-A stage decomposition (bench_analysis.py)
 #   microbench.log        kernel slope timings (microbench.py)
 #   smoke.log             all encode paths on hardware
