@@ -237,11 +237,21 @@ def _tok_compact_kernel(
         ).reshape(CHUNK, 128)
 
     # Phase 2: log-merge in scratch. Sublane-offset reads (row i+s) are an
-    # aligned 2-block load + sublane roll.
+    # aligned 2-block load + sublane roll. The plan rides with levels on the
+    # lane axis ([rows+PAD, 8]) — a per-row column with lane dim 1 would be
+    # tile-padded x128 in VMEM and HBM (the round-2 hardware compile hit the
+    # 16M scoped-vmem ceiling exactly this way); a masked lane-reduction
+    # recovers each level's [rows+PAD, 1] column for ~nothing.
     lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
+    pall = plan_ref[0]  # [rows + PAD_ROWS, 8] i32, lane l = level l's word
+    lvl_lane = jax.lax.broadcasted_iota(
+        jnp.int32, (rows + PAD_ROWS, 8), 1
+    )
     for lvl in range(levels):
         s = 1 << lvl
-        plane = plan_ref[0, lvl]  # [rows + PAD_ROWS, 1] i32
+        plane = jnp.sum(
+            jnp.where(lvl_lane == lvl, pall, 0), axis=1, keepdims=True
+        )  # [rows + PAD_ROWS, 1] i32
         c1_all = pltpu.roll(plane, (rows + PAD_ROWS) - s, axis=0) & _M30
         for c in range(nchunk):
             r0 = c * CHUNK
@@ -298,7 +308,11 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
     g, rows, _ = ordered_em.shape
     assert rows % CHUNK == 0 and rows % 128 == 0
     plan, starts, cntf, order, nb, totals = merge_plan(cnt_em, levels)
-    plan_p = jnp.pad(plan, ((0, 0), (0, 0), (0, PAD_ROWS)))[..., None]
+    # [G, rows+PAD, 8]: rows on sublanes, levels on lanes (see _tok_compact
+    # phase 2 — a trailing dim of 1 would tile-pad x128).
+    plan_p = jnp.pad(
+        jnp.moveaxis(plan, 1, 2), ((0, 0), (0, PAD_ROWS), (0, 8 - levels))
+    )
     meta2d = meta_em.astype(jnp.int32).reshape(g, rows // 128, 128)
     smeta = jnp.stack(
         [starts, cntf, order, jnp.broadcast_to(nb[:, None], (g, rows))], axis=1
