@@ -307,6 +307,7 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
     tokenize_cells + rows_from_tokens + compact_stream, in one kernel."""
     g, rows, _ = ordered_em.shape
     assert rows % CHUNK == 0 and rows % 128 == 0
+    assert levels <= 8, "merge plan packs levels onto an 8-lane axis"
     plan, starts, cntf, order, nb, totals = merge_plan(cnt_em, levels)
     # [G, rows+PAD, 8]: rows on sublanes, levels on lanes (see _tok_compact
     # phase 2 — a trailing dim of 1 would tile-pad x128).
@@ -326,7 +327,7 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
             pl.BlockSpec(
                 (1, 4, rows), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, levels, rows + PAD_ROWS, 1), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, rows + PAD_ROWS, 8), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, rows // 128, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0)),
             pl.BlockSpec((128, 128), lambda i: (0, 0)),
