@@ -169,7 +169,7 @@ def tokenize_cells(
 # ---------------------------------------------------------------------------
 
 MERGE_LEVELS = 6
-CHUNK = 512  # rows tokenized/merged per in-kernel step
+CHUNK = 256  # rows tokenized/merged per in-kernel step
 PAD_ROWS = 64  # scratch/plan row padding (>= max merge stride 2^(L-1))
 _M30 = (1 << 30) - 1
 
@@ -218,17 +218,37 @@ def merge_plan(rows_cnt, levels=MERGE_LEVELS):
 
 def _tok_compact_kernel(
     smeta_ref, plan_ref, meta_ref, x_ref, tri_ref, freq_ref, out_ref,
-    scr_ref, *, cap, levels, rows
+    scr_ref, xs_ref, sem_x, *, cap, levels, rows
 ):
+    """x_ref lives in HBM (memory_space ANY): streaming the whole group's
+    coefficients as a pipeline block costs 1.57 MB x 2-3 buffers of scoped
+    VMEM, which together with the 1.6 MB token scratch and the (then
+    lane-padded x16) plan blew the 16 MB scoped-VMEM ceiling on hardware at
+    G >= 64. The kernel DMAs coefficients chunk by chunk (double-buffered)
+    into a small scratch instead. The plan streams normally but lane-major
+    ([levels, rows/128+1, 128], ~100 KB/group): a DMA of the row-major
+    [rows, levels] form is illegal (minor dim 8 not 128-aligned) and its
+    streamed block tile-pads x16."""
     nchunk = rows // CHUNK
+    nb128 = CHUNK // 128
     tri = tri_ref[...]
     freq = freq_ref[...]
+    i = pl.program_id(0)
+
+    def xdma(c, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[i, pl.ds(c * CHUNK, CHUNK), :],
+            xs_ref.at[slot],
+            sem_x.at[slot],
+        )
 
     # Phase 1: tokenize into scratch, chunk by chunk.
+    xdma(0, 0).start()
     for c in range(nchunk):
-        x = x_ref[0, c * CHUNK : (c + 1) * CHUNK, :].reshape(
-            CHUNK // 128, 128, 128
-        )
+        if c + 1 < nchunk:
+            xdma(c + 1, (c + 1) % 2).start()
+        xdma(c, c % 2).wait()
+        x = xs_ref[c % 2].reshape(CHUNK // 128, 128, 128)
         meta = meta_ref[0, c * (CHUNK // 128) : (c + 1) * (CHUNK // 128), :][
             :, :, None
         ]
@@ -237,41 +257,49 @@ def _tok_compact_kernel(
         ).reshape(CHUNK, 128)
 
     # Phase 2: log-merge in scratch. Sublane-offset reads (row i+s) are an
-    # aligned 2-block load + sublane roll. The plan rides with levels on the
-    # lane axis ([rows+PAD, 8]) — a per-row column with lane dim 1 would be
-    # tile-padded x128 in VMEM and HBM (the round-2 hardware compile hit the
-    # 16M scoped-vmem ceiling exactly this way); a masked lane-reduction
-    # recovers each level's [rows+PAD, 1] column for ~nothing.
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 128), 1)
-    pall = plan_ref[0]  # [rows + PAD_ROWS, 8] i32, lane l = level l's word
-    lvl_lane = jax.lax.broadcasted_iota(
-        jnp.int32, (rows + PAD_ROWS, 8), 1
-    )
+    # aligned 2-block load + sublane roll. The plan arrives lane-major
+    # (emission rows on lanes, like meta); each chunk's per-row column is
+    # recovered with the same minor-dim insert phase 1 uses for meta. All
+    # plan handling is chunk-local: a whole-rows [rows+PAD, 1] column
+    # (1.6 MB lane-padded) held live across the chunk loop for each of the
+    # 6 levels is exactly how the round-2/3 hardware compiles blew the
+    # 16 MB scoped-VMEM ceiling at G >= 64; chunk-local [CHUNK, 1]
+    # temporaries die within their iteration and Mosaic reuses their slots.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (nb128, 128, 128), 2)
+    subs = jax.lax.broadcasted_iota(jnp.int32, (nb128, 128, 1), 1)
     for lvl in range(levels):
         s = 1 << lvl
-        plane = jnp.sum(
-            jnp.where(lvl_lane == lvl, pall, 0), axis=1, keepdims=True
-        )  # [rows + PAD_ROWS, 1] i32
-        c1_all = pltpu.roll(plane, (rows + PAD_ROWS) - s, axis=0) & _M30
         for c in range(nchunk):
             r0 = c * CHUNK
             cur = scr_ref[r0 : r0 + CHUNK, :]
             nxt = scr_ref[r0 + CHUNK : r0 + CHUNK + PAD_ROWS, :]
             ext = jnp.concatenate([cur, nxt], axis=0)
             tail = pltpu.roll(ext, (CHUNK + PAD_ROWS) - s, axis=0)[:CHUNK, :]
-            pc = plane[r0 : r0 + CHUNK]
+            # This level's plan column for rows [r0, r0+CHUNK) plus one
+            # extra 128-row block covering the +s tail rows. All handling
+            # stays 3-D [nb,128,1] — the flat [CHUNK+128,1] reshape has no
+            # Mosaic lowering on hardware — so the +s shift is a sublane
+            # roll with a two-block select at the 128-row seam.
+            w = plan_ref[0, lvl, c * nb128 : c * nb128 + nb128 + 1, :][
+                :, :, None
+            ]
+            pc = w[:nb128]  # [nb,128,1] i32
             c0 = pc & _M30
             do = pc >> 30
-            c1 = c1_all[r0 : r0 + CHUNK]
-            sft = tail
+            r_lo = pltpu.roll(w[:nb128], 128 - s, axis=1)
+            r_hi = pltpu.roll(w[1 : nb128 + 1], 128 - s, axis=1)
+            c1 = jnp.where(subs < 128 - s, r_lo, r_hi) & _M30
+            cur3 = cur.reshape(nb128, 128, 128)
+            sft = tail.reshape(nb128, 128, 128)
             for b in range(7):
-                rolled = pltpu.roll(sft, 1 << b, axis=1)
+                rolled = pltpu.roll(sft, 1 << b, axis=2)
                 sft = jnp.where(((c0 >> b) & 1) > 0, rolled, sft)
-            hm = jnp.where(lanes < c0, cur, jnp.uint32(0))
+            hm = jnp.where(lanes < c0, cur3, jnp.uint32(0))
             sm = jnp.where(
                 (lanes >= c0) & (lanes < c0 + c1), sft, jnp.uint32(0)
             )
-            scr_ref[r0 : r0 + CHUNK, :] = jnp.where(do > 0, hm | sm, cur)
+            res = jnp.where(do > 0, hm | sm, cur3)
+            scr_ref[r0 : r0 + CHUNK, :] = res.reshape(CHUNK, 128)
 
     # Phase 3: scalar OR-placement of the merged rows into the stream.
     out_ref[...] = jnp.zeros_like(out_ref)
@@ -307,12 +335,15 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
     tokenize_cells + rows_from_tokens + compact_stream, in one kernel."""
     g, rows, _ = ordered_em.shape
     assert rows % CHUNK == 0 and rows % 128 == 0
-    assert levels <= 8, "merge plan packs levels onto an 8-lane axis"
+    assert (1 << (levels - 1)) <= PAD_ROWS, "merge stride exceeds row pad"
     plan, starts, cntf, order, nb, totals = merge_plan(cnt_em, levels)
-    # [G, rows+PAD, 8]: rows on sublanes, levels on lanes (see _tok_compact
-    # phase 2 — a trailing dim of 1 would tile-pad x128).
-    plan_p = jnp.pad(
-        jnp.moveaxis(plan, 1, 2), ((0, 0), (0, PAD_ROWS), (0, 8 - levels))
+    # [G, levels, rows/128+1, 128]: emission rows on lanes (like meta), one
+    # zero block of row pad so phase 2's +s tail reads stay in-window. A
+    # row-major [rows, levels] plan can neither stream (8-lane minor dim
+    # tile-pads x16 -> 1.6 MB/group VMEM, the round-2/3 OOM) nor DMA
+    # (minor dim must be 128-aligned).
+    plan_p = jnp.pad(plan, ((0, 0), (0, 0), (0, 128))).reshape(
+        g, levels, rows // 128 + 1, 128
     )
     meta2d = meta_em.astype(jnp.int32).reshape(g, rows // 128, 128)
     smeta = jnp.stack(
@@ -327,9 +358,11 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
             pl.BlockSpec(
                 (1, 4, rows), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec((1, rows + PAD_ROWS, 8), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (1, levels, rows // 128 + 1, 128), lambda i: (i, 0, 0, 0)
+            ),
             pl.BlockSpec((1, rows // 128, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((128, 128), lambda i: (0, 0)),
             pl.BlockSpec((2, 128), lambda i: (0, 0)),
         ],
@@ -337,7 +370,11 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
             (1, 1, cap + W), lambda i: (i, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((rows + PAD_ROWS, 128), jnp.uint32)],
+        scratch_shapes=[
+            pltpu.VMEM((rows + PAD_ROWS, 128), jnp.uint32),
+            pltpu.VMEM((2, CHUNK, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=_interpret(),
     )(
         smeta,
