@@ -210,7 +210,17 @@ def _compute_mask(v):
 
 
 def adaptive_quant_field(xyb, distance, inv_scale):
-    """[G,3,256,256] -> (qf, masking, raw_qf) [G,32,32]."""
+    """[G,3,256,256] -> (qf, masking, raw_qf) [G,32,32].
+
+    One Pallas pass over the group pixels (ops/aq_kernel); the jnp twin
+    below is the reference model (bit-equal expressions, shared helpers)."""
+    from .aq_kernel import adaptive_quant_field_kernel
+
+    return adaptive_quant_field_kernel(xyb, distance, inv_scale)
+
+
+def adaptive_quant_field_jnp(xyb, distance, inv_scale):
+    """jnp twin of ops/aq_kernel (kept as the comparison model)."""
     g = xyb.shape[0]
     scale = F32(0.8294 / distance)
     y_pl = xyb[:, 1]
@@ -400,21 +410,30 @@ def compute_ac_strategy(
     mul8 = F32(1.0735757687292623 * 0.75 + (-0.55 * 0.75) / (distance + 1.4))
     mul16 = F32(0.9019587899705066 + (-0.55) / (distance + 1.6))
 
-    e8_all = F32(3.0) * mul8 + mul8 * _estimate_entropy(
-        coef8.reshape(g, 3, 32, 32, 64), qm8, qf, masking, fac_x, fac_b, distance
-    )  # [G,32,32]
-
-    # Vertical candidates: q/mask max over (2r, 2r+1); cf at top cell.
+    # Vertical candidates: q/mask max over (2r, 2r+1); cf at top cell;
+    # horizontal likewise over (2c, 2c+1).
     q_v = jnp.maximum(qf[:, ::2], qf[:, 1::2])  # [G,16,32]
     m_v = jnp.maximum(masking[:, ::2], masking[:, 1::2])
-    ev_all = mul16 * _estimate_entropy(
-        coef_v, qm16, q_v, m_v, fac_x[:, ::2], fac_b[:, ::2], distance
-    )  # [G,16,32]
     q_h = jnp.maximum(qf[:, :, ::2], qf[:, :, 1::2])  # [G,32,16]
     m_h = jnp.maximum(masking[:, :, ::2], masking[:, :, 1::2])
-    eh_all = mul16 * _estimate_entropy(
-        coef_h, qm16, q_h, m_h, fac_x[:, :, ::2], fac_b[:, :, ::2], distance
-    )  # [G,32,16]
+
+    # All three candidate-entropy families in one Pallas pass over the
+    # coefficient sets (ops/strategy_kernel; the jnp twin _estimate_entropy
+    # is kept as the reference model).
+    from .strategy_kernel import combine_partials, estimate_partials
+
+    slope = min(1.0, distance / 3.0)
+    p8, pv, ph = estimate_partials(
+        coef8.reshape(g, 3, 32, 32, 64), coef_v, coef_h,
+        qf, q_v, q_h,
+        jnp.stack([fac_x, fac_b], axis=1),
+        jnp.stack([fac_x[:, ::2], fac_b[:, ::2]], axis=1),
+        jnp.stack([fac_x[:, :, ::2], fac_b[:, :, ::2]], axis=1),
+        qm8, qm16, slope,
+    )
+    e8_all = F32(3.0) * mul8 + mul8 * combine_partials(p8, masking, 1)
+    ev_all = mul16 * combine_partials(pv, m_v, 2)
+    eh_all = mul16 * combine_partials(ph, m_h, 2)
 
     # Quad decisions [G,16,16].
     e00 = e8_all[:, ::2, ::2]

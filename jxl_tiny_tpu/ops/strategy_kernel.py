@@ -1,0 +1,181 @@
+"""AC-strategy entropy estimates as one Pallas TPU kernel (kernel E).
+
+The reference scores every aligned 16x16 quad by estimating the token
+entropy of 4xDCT8 vs 2xDCT16X8 vs 2xDCT8X16 (enc_ac_strategy.cc:51-146,
+167-238: quantize-estimate + info-loss). The jnp form (`_estimate_entropy`
+in pipeline_jax) ran as ~15 XLA passes over the three [G,3,...,S]
+coefficient sets, materializing `val`/`rval`/`diff` intermediates in HBM
+(~7 ms/8MP on a v5e). Everything is local to one cell's coefficient row,
+so one kernel computes all three families' per-channel partial sums with
+a single read of each coefficient set:
+
+  - grid (G, 3): one group x one channel per step; the Y coefficients ride
+    as second blocks of the same arrays (index maps pin channel 1) for the
+    CfL-unapply term, so no cross-channel dependence remains
+  - per-channel quant-matrix rows are selected by the channel grid index
+    in the BlockSpec index map (no in-kernel gather)
+  - outputs are per-channel partials (ent, info_loss, info_loss2) per
+    cell; the cheap distance-dependent combine, masking multiply, and
+    quad argmin stay in XLA on [G,32,32] maps (compute_ac_strategy)
+
+Float lane-reductions here may round differently from the XLA twin on
+another backend; strategy decisions are quality-heuristic choices and any
+outcome is a valid stream (the CPU suite runs this kernel in interpret
+mode where it matches the jnp twin's arithmetic exactly).
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from .pack_kernels import _interpret
+
+F32 = np.float32
+
+# enc_ac_strategy.cc:51-146 cost constants (shared with the jnp twin).
+K_ABOVE15 = F32(4.4628149885273363)
+K_SQRT = F32(5.3359184934516337)
+K_NZ_BASE = F32(1.0)
+K_NZ_SLOPE = F32(8.8703248061477744)
+K_NBITS = F32(7.565053364251793)
+
+
+def _ceil_log2_nz(v):
+    return jnp.ceil(jnp.log2(jnp.maximum(v, 1).astype(jnp.float32)))
+
+
+def _family(coef_c, coef_y, qm, q, cf, slope):
+    """Per-cell partial sums for one (family, channel).
+
+    coef_c/coef_y: [..., S] f32; qm: [S] f32 broadcastable; q/cf: [...]
+    f32 cell maps. Returns (ent, il, il2) each [...]."""
+    val = (coef_c - cf[..., None] * coef_y) * qm * q[..., None]
+    rval = jnp.round(val)
+    diff = jnp.abs(val - rval)
+    il = diff.sum(axis=-1)
+    il2 = (diff * diff).sum(axis=-1)
+    aq = jnp.abs(rval)
+    nzeros = (aq != 0).sum(axis=-1)
+    ent = (
+        (aq >= 1.5).sum(axis=-1).astype(jnp.float32) * K_ABOVE15
+        + jnp.sqrt(aq).sum(axis=-1) * K_SQRT
+        + nzeros.astype(jnp.float32) * F32(1.0 + slope * float(K_NZ_SLOPE))
+    )
+    nbits = _ceil_log2_nz(nzeros + 1) + 1.0
+    ent = ent + K_NBITS * (_ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits)
+    return ent, il, il2
+
+
+def _estimate_kernel(
+    c8c_ref, c8y_ref, cvc_ref, cvy_ref, chc_ref, chy_ref,
+    q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
+    qm8_ref, qm16_ref,
+    o8_ref, ov_ref, oh_ref, *, slope,
+):
+    c = pl.program_id(1)
+    # Whole [3, S] tables ride in; the channel row is a dynamic sublane
+    # slice (a (1, S) block per channel would violate the (8, 128)
+    # block-divisibility rule).
+    qm8 = qm8_ref[pl.ds(c, 1), :]  # [1,64]
+    qm16 = qm16_ref[pl.ds(c, 1), :]  # [1,128]
+
+    def cf_of(f_ref):
+        f = f_ref[0]
+        # cf = fac_x for X (c=0), 0 for Y (c=1), fac_b for B (c=2); the
+        # fac blocks carry (fac_x, fac_b) stacked on axis 0.
+        return jnp.where(c == 0, f[0], jnp.where(c == 1, 0.0, f[1]))
+
+    ent, il, il2 = _family(
+        c8c_ref[0, 0], c8y_ref[0, 0], qm8, q8_ref[0], cf_of(f8_ref), slope
+    )
+    o8_ref[0, 0, 0] = ent
+    o8_ref[0, 0, 1] = il
+    o8_ref[0, 0, 2] = il2
+
+    ent, il, il2 = _family(
+        cvc_ref[0, 0], cvy_ref[0, 0], qm16, qv_ref[0], cf_of(fv_ref), slope
+    )
+    ov_ref[0, 0, 0] = ent
+    ov_ref[0, 0, 1] = il
+    ov_ref[0, 0, 2] = il2
+
+    ent, il, il2 = _family(
+        chc_ref[0, 0], chy_ref[0, 0], qm16, qh_ref[0], cf_of(fh_ref), slope
+    )
+    oh_ref[0, 0, 0] = ent
+    oh_ref[0, 0, 1] = il
+    oh_ref[0, 0, 2] = il2
+
+
+def estimate_partials(
+    coef8, coef_v, coef_h, q8, qv, qh, fac8, facv, fach, qm8, qm16, slope
+):
+    """coef8: [G,3,32,32,64]; coef_v: [G,3,16,32,128]; coef_h:
+    [G,3,32,16,128]; q8/qv/qh: [G,32,32]/[G,16,32]/[G,32,16] quant maps;
+    fac8/facv/fach: [G,2,...] stacked (fac_x, fac_b) cell maps; qm8/qm16:
+    [3,64]/[3,128] inverse-quant weights.
+
+    Returns (p8 [G,3,3,32,32], pv [G,3,3,16,32], ph [G,3,3,32,16]) f32 —
+    axis 1 = channel, axis 2 = (ent, info_loss, info_loss2) partials."""
+    g = coef8.shape[0]
+    kern = functools.partial(_estimate_kernel, slope=float(slope))
+    return pl.pallas_call(
+        kern,
+        grid=(g, 3),
+        in_specs=[
+            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, c: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, c: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, c: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 32, 32), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 32), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i, c: (i, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 32), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 16, 32), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i, c: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 64), lambda i, c: (0, 0)),
+            pl.BlockSpec((3, 128), lambda i, c: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 3, 32, 32), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 3, 16, 32), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 3, 32, 16), lambda i, c: (i, c, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 3, 3, 32, 32), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 3, 16, 32), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 3, 32, 16), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
+        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
+        coef_v.astype(jnp.float32),
+        coef_v.astype(jnp.float32),
+        coef_h.astype(jnp.float32),
+        coef_h.astype(jnp.float32),
+        q8.astype(jnp.float32),
+        qv.astype(jnp.float32),
+        qh.astype(jnp.float32),
+        fac8.astype(jnp.float32),
+        facv.astype(jnp.float32),
+        fach.astype(jnp.float32),
+        jnp.asarray(qm8, jnp.float32),
+        jnp.asarray(qm16, jnp.float32),
+    )
+
+
+def combine_partials(p, masking, num_blocks):
+    """(ent, il, il2) per-channel partials [G,3,3,...] + masking [G,...]
+    -> estimate map [G,...] (the tail of pipeline_jax._estimate_entropy)."""
+    entropy = p[:, :, 0].sum(axis=1)
+    il = p[:, :, 1].sum(axis=1)
+    il2 = p[:, :, 2].sum(axis=1)
+    score = F32(138.0) * il + F32(50.46839691767866) * jnp.sqrt(
+        num_blocks * il2
+    )
+    return entropy + masking * score
