@@ -7,7 +7,7 @@ Mirrors WriteDCGroup (enc_frame.cc:536-570): per DC group, the section is
 The reference emits these serially on the host; here the whole section is a
 *fixed flat layout* of u32 entries per DC group — real tokens, raw-bit
 entries, and zero-width padding — so no compaction pass is needed: the
-scalar bit-pack kernel (pack_kernels.bitpack_groups_var) skips nbits=0
+word-parallel bit packer (pack_kernels.bitpack_groups_words) skips nbits=0
 slots by construction, and raw header bits are just literal (data, nbits)
 entries.
 Prediction contexts are computed vectorized: the reference's sequential
@@ -276,7 +276,7 @@ def dc_token_data_bits(layout, d_table):
 
 
 def _pack_dc_impl(layout, d_table, ow, wcap, compact=True):
-    from .pack_kernels import bitpack_groups_var, compact_sections
+    from .pack_kernels import bitpack_groups_words, compact_sections
 
     g, cap = layout.shape
     # Token bit patterns on a well-tiled 2D view, and a two-level cumsum
@@ -295,7 +295,7 @@ def _pack_dc_impl(layout, d_table, ow, wcap, compact=True):
     nbits = nbits.reshape(g, cap)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    packed = bitpack_groups_var(data, nbits, pos, ow)
+    packed = bitpack_groups_words(data, nbits, pos, ow, prefix_valid=False)
     if not compact:
         # Overflow fallback — see pack_kernels._pack_ac_impl.
         return dict(words=packed, bits=bits, word_offs=jnp.zeros_like(bits))

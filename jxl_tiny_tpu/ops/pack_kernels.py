@@ -299,23 +299,30 @@ def table_lookup_packed(base, tok, d_table):
     cmap = d_table[:, 0] if per_g else d_table[0]
     t8 = d_table[:, 1:] if per_g else d_table[1:]
     ar = jnp.arange(NUM_BASE_CTXS)
-    a = (base[..., None] == ar).astype(jnp.float32)  # [G, T, 64] (fused)
+    a = (base[..., None] == ar).astype(jnp.bfloat16)  # [G, T, 64] (fused)
     # Cluster ids are < 8: exact at any matmul precision.
     cl = jnp.einsum(
-        "gtc,gc->gt" if per_g else "gtc,c->gt", a, cmap,
+        "gtc,gc->gt" if per_g else "gtc,c->gt", a,
+        cmap.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     ).astype(jnp.int32)
-    b = (tok[..., None] == ar).astype(jnp.float32)
-    # HIGHEST: entries reach 2^21, whose low split half exceeds bf16's 8
-    # mantissa bits — bf16x3 is NOT exact here (measured: malformed
-    # streams), unlike the one-hot zig-zag case where values < 2^16.
-    ad = jnp.einsum(
-        "gtk,gjk->gtj" if per_g else "gtk,jk->gtj", b, t8,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [G, T, 8]
+    b = (tok[..., None] == ar).astype(jnp.bfloat16)
+    # Entries reach 2^21 — beyond bf16's 8 mantissa bits (a single bf16x1
+    # pass measurably malformed streams in round 1), so the table rides in
+    # three 8-bit chunks: ints <= 255 are bf16-exact, each product has a
+    # one-hot factor, and accumulation is f32. Full-rate MXU instead of
+    # the 6-pass HIGHEST f32 path.
+    t8i = t8.astype(jnp.int32)
+    ad = jnp.zeros(base.shape + (t8.shape[-2],), jnp.int32)  # [G, T, 8]
+    for sh8 in (0, 8, 16):
+        chunk = ((t8i >> sh8) & 0xFF).astype(jnp.bfloat16)
+        part = jnp.einsum(
+            "gtk,gjk->gtj" if per_g else "gtk,jk->gtj", b, chunk,
+            preferred_element_type=jnp.float32,
+        )
+        ad = ad | (part.astype(jnp.int32) << sh8)
     sel = cl[..., None] == jnp.arange(t8.shape[-2])
-    return jnp.where(sel, ad, 0.0).sum(axis=-1).astype(jnp.int32)
+    return jnp.where(sel, ad, 0).sum(axis=-1)
 
 
 def token_data_bits(stream, totals, d_table):
@@ -667,6 +674,138 @@ def compact_sections(packed, bits, wcap):
 
 
 # ---------------------------------------------------------------------------
+# Word-parallel bit packing: segmented OR-scan over words
+# ---------------------------------------------------------------------------
+
+
+def bitpack_groups_words(data, nbits, pos, ow, prefix_valid=True):
+    """Vector bit packer: data/nbits/pos [G, cap] per-token LSB-first bit
+    patterns (nbits <= 28 < 32), widths, absolute bit positions (invalid
+    tokens: nbits 0). Returns packed words [G, ow] u32 (zero beyond the
+    section's words).
+
+    prefix_valid=True: valid tokens form a contiguous prefix per group
+    (AC streams) — zero-width tokens take a sentinel key and the OR-scan
+    runs 6 doubling passes (word segments are <= 32 contiguous tokens).
+    prefix_valid=False: zero-width tokens may interleave anywhere (the DC
+    layout's structural PAD runs) — they share the following word's key
+    (their position equals the next token's) and the scan doubles to the
+    full token axis, ceil(log2(cap)) passes.
+
+    Replaces the scalar entry loop of bitpack_groups_var for dense token
+    streams with O(log) vector passes. Because every token is narrower
+    than a word, every output word contains at least one token *start*,
+    so per-word values emerge from a segmented OR-scan keyed by start
+    word (segments are <= 32 contiguous tokens):
+
+      lo[t]  = token bits within its start word; hi[t] = spill into the
+               next word (tokens span <= 2 words at nbits <= 28)
+      inc[t] = hi of the previous token, at each first-token-of-word
+      v      = seg-OR-scan(lo | inc)  -- 6 doubling passes
+      word w = v at the last token of w's segment
+
+    The per-word values are then left-packed within each 128-token row by
+    an exact one-hot matmul (u32 split into two f32-exact 16-bit halves)
+    and placed into the dense per-group word stream by compact_stream —
+    the same merge+place machinery as the token stream, at ~1/6 the
+    element count (one word per ~6 tokens)."""
+    g, cap = data.shape
+    assert cap % 128 == 0
+    nbits = nbits.astype(jnp.int32)
+    valid = nbits > 0
+    pos = pos.astype(jnp.int32)
+    sh = (pos & 31).astype(jnp.uint32)
+    lo = jnp.where(valid, data << sh, jnp.uint32(0))
+    hi = jnp.where(
+        valid & (sh > 0),
+        data >> ((jnp.uint32(32) - sh) & 31),
+        jnp.uint32(0),
+    )
+    if prefix_valid:
+        # Invalid (tail) tokens take a sentinel key so the last real
+        # word's segment stays <= 32 contiguous tokens long.
+        w0 = jnp.where(valid, pos >> 5, jnp.int32(1 << 30))
+        doublings = (1, 2, 4, 8, 16, 32)
+    else:
+        # Interleaved zero-width tokens share the following token's word
+        # (their pos does not advance); segments stay index-contiguous
+        # but can be arbitrarily long — double across the whole axis.
+        w0 = pos >> 5
+        doublings = tuple(
+            1 << b for b in range(int(np.ceil(np.log2(max(cap, 2)))))
+        )
+
+    def sh_r(a, d, fill):  # bring index t-d to t along the token axis
+        return jnp.concatenate(
+            [jnp.full_like(a[:, :d], fill), a[:, :-d]], axis=1
+        )
+
+    first = w0 != sh_r(w0, 1, -1)
+    v = lo | jnp.where(first, sh_r(hi, 1, 0), jnp.uint32(0))
+    for d in doublings:
+        same = w0 == sh_r(w0, d, -7)
+        v = jnp.where(same, v | sh_r(v, d, 0), v)
+    # Last-token-of-word mask (zero-width tokens never qualify: with a
+    # prefix they hold the sentinel key; interleaved they share the key
+    # of the FOLLOWING token, so the inequality fires only at real ends
+    # or at trailing pads whose zero value is harmless).
+    nxt = jnp.concatenate(
+        [w0[:, 1:], jnp.full_like(w0[:, :1], -9)], axis=1
+    )
+    e = (valid & (w0 != nxt)) if prefix_valid else (w0 != nxt)
+    # The stream's very last token may spill into a word that contains no
+    # token start (mid-stream the next start always covers the spill
+    # word); it is patched onto the placed stream at the end.
+    idxs = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    last_idx = jnp.max(jnp.where(valid, idxs, -1), axis=1)
+    islast = valid & (idxs == last_idx[:, None])
+    spills = islast & (((pos & 31) + nbits) > 32)
+    spill_v = jnp.where(spills, hi, jnp.uint32(0)).max(axis=1)  # <=1 hot
+
+    rows = cap // 128
+    er = e.reshape(g, rows, 128)
+    vr = jnp.where(e, v, jnp.uint32(0)).reshape(g, rows, 128)
+    rank = jnp.cumsum(er.astype(jnp.int32), axis=-1)
+    dst = rank - 1
+    lane = jnp.arange(128, dtype=jnp.int32)
+    oh = jnp.where(er[..., None], dst[..., None] == lane, False).astype(
+        jnp.bfloat16
+    )
+
+    def emit8(byte_vals):  # one 8-bit chunk; ints <= 255 are bf16-exact
+        p = jnp.einsum(
+            "grt,grtj->grj", byte_vals.astype(jnp.bfloat16), oh,
+            preferred_element_type=jnp.float32,
+        )
+        return p.astype(jnp.uint32)
+
+    words_rows = jnp.zeros((g, rows, 128), jnp.uint32)
+    for sh8 in (0, 8, 16, 24):
+        words_rows = words_rows | (
+            emit8((vr >> sh8) & jnp.uint32(0xFF)) << sh8
+        )
+    counts = er.sum(axis=-1).astype(jnp.int32)
+    # Pad the row axis to a multiple of 16 so the merge preconditioner
+    # gets its full 4 levels (zero-count rows are no-ops).
+    padr = (-rows) % 16
+    if padr:
+        words_rows = jnp.concatenate(
+            [words_rows, jnp.zeros((g, padr, 128), jnp.uint32)], axis=1
+        )
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((g, padr), jnp.int32)], axis=1
+        )
+    words, wtotals = compact_stream(words_rows, counts, ow)
+    words = words[:, :ow]
+    # OR the final spill into the stream's last word (it is the word right
+    # after the last start word, at index wtotals).
+    gi = jnp.arange(g)
+    wi = jnp.minimum(wtotals, ow - 1)
+    patched = words[gi, wi] | spill_v
+    return words.at[gi, wi].set(jnp.where(spill_v > 0, patched, words[gi, wi]))
+
+
+# ---------------------------------------------------------------------------
 # Program B: stream + code tables -> section bytes
 # ---------------------------------------------------------------------------
 
@@ -676,7 +815,7 @@ def _pack_ac_impl(stream, totals, d_table, ow, wcap, compact=True):
     ends = jnp.cumsum(nbits, axis=1)
     pos = ends - nbits
     bits = ends[:, -1].astype(jnp.int32)
-    packed = bitpack_groups_var(data, nbits, pos, ow)
+    packed = bitpack_groups_words(data, nbits, pos, ow)
     if not compact:
         # Overflow fallback: total section words exceed the single [wcap]
         # compaction buffer (VMEM-bounded). Return the padded per-group

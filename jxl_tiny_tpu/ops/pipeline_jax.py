@@ -615,12 +615,22 @@ def encode_groups_stream(
     valid,
     cap,
 ):
-    """Flagship tokenization: kernel F + context middle + the fused
-    tokenize/merge/compact kernel (tokenize_kernel.tokenize_compact).
+    """Flagship tokenization: kernel F + context middle + tokenize +
+    compact. Two bit-identical routes (tested against each other):
+
+    - separate (default): tokenize_cells kernel -> merge_rows + compact
+      (pack_kernels.compact_stream). Measured FASTER on the v5e (16.4 vs
+      21.0 ms/8MP incl. kernel F): the fused kernel's chunk-local plan
+      recompute and in-kernel scalar placement cost more than the fat
+      token array's extra HBM round trip that it avoids.
+    - fused (JXL_TOKENIZE_FUSED=1): one kernel per group
+      (tokenize_kernel.tokenize_compact), tokens living in VMEM from
+      birth to placement — kept as the low-HBM-traffic variant.
 
     Returns (stream [G, cap+128] u32, totals [G] i32, quant_dc
-    [G,3,32,32] i32) — the stream bit-identical to the separate-stage
-    encode_groups(base_ctx=True) + rows_from_tokens + compact_stream."""
+    [G,3,32,32] i32)."""
+    import os
+
     from .tokenize_kernel import pack_row_meta, tokenize_compact
 
     g = coef8.shape[0]
@@ -632,6 +642,21 @@ def encode_groups_stream(
     shp = m["nzeros_total"].shape
     covered_b = jnp.broadcast_to(m["covered"][:, None], shp)
     first_b = jnp.broadcast_to(first[:, None], shp)
+    if not os.environ.get("JXL_TOKENIZE_FUSED"):
+        from .pack_kernels import compact_stream
+        from .tokenize_kernel import tokenize_cells
+
+        chan = jnp.asarray(_EMIT_CHAN)
+        tokens_full, count_full = tokenize_cells(
+            m["ordered"], covered_b, m["nzeros_total"], m["block_ctx"],
+            m["nzero_ctx"], m["prev_init"], first_b,
+        )
+        rows_tok = (
+            tokens_full[:, chan].transpose(0, 2, 3, 1, 4).reshape(g, -1, 128)
+        )
+        rows_cnt = count_full[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
+        stream, totals = compact_stream(rows_tok, rows_cnt, cap)
+        return stream, totals, m["quant_dc"]
     meta_cell = pack_row_meta(
         covered_b,
         m["nzeros_total"],

@@ -164,6 +164,38 @@ def test_bitpack_groups_var_matches():
         assert np.array_equal(out[k], ref), f"group {k}"
 
 
+def test_bitpack_groups_words_matches():
+    """The word-parallel packer (segmented OR-scan + one-hot left-pack +
+    compact placement) must be bit-identical to the scalar reference on
+    AC-shaped streams: a contiguous valid prefix of 1..28-bit tokens
+    (zero-width tokens occur only in the tail padding), including empty,
+    full, and spilling-final-token groups."""
+    rng = np.random.RandomState(5)
+    g, cap, ow = 6, 2048, 2048
+    totals = np.array([0, 1, cap, 700, 1333, 37])
+    nbits = rng.randint(1, 29, size=(g, cap)).astype(np.int32)
+    # Force a final-token spill case: last token crosses a word boundary.
+    nbits[3, 699] = 28
+    nbits = nbits * (np.arange(cap)[None] < totals[:, None])
+    data = (
+        rng.randint(0, 1 << 30, size=(g, cap))
+        & ((1 << np.maximum(nbits, 1)) - 1)
+    ).astype(np.uint32)
+    data = data * (nbits > 0)
+    ends = np.cumsum(nbits, axis=1)
+    pos = (ends - nbits).astype(np.int32)
+    out = np.asarray(
+        PK.bitpack_groups_words(
+            jnp.asarray(data), jnp.asarray(nbits), jnp.asarray(pos), ow
+        )
+    )
+    for k in range(g):
+        ref, bits = _ref_bitpack(data[k], nbits[k], cap, ow)
+        nw = (bits + 31) >> 5
+        assert np.array_equal(out[k], ref), f"group {k}"
+        assert not out[k, nw:].any(), f"group {k} tail"
+
+
 def test_token_data_bits_and_hist():
     rng = np.random.RandomState(2)
     g, cap = 2, 512
