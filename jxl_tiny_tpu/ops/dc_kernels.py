@@ -138,16 +138,25 @@ def regroup_dc(arr, ygr, xgr, trailing):
 
 def _prev_first_scan(first_flat, values_flat, init):
     """prev[i] = values at the last first-cell strictly before i (raster);
-    init where none. first_flat: [Gd, N] bool; values_flat: [Gd, N]."""
+    init where none. first_flat: [Gd, N] bool; values_flat: [Gd, N].
+
+    Select-doubling propagation — XLA:TPU gathers (take_along_axis) run
+    near one element/cycle and cost ~ms at this size; log2(N) masked
+    shifts are bandwidth-bound instead."""
     n = first_flat.shape[1]
-    idx = jnp.arange(n, dtype=jnp.int32)[None, :]
-    marked = jnp.where(first_flat, idx, -1)
-    shifted = jnp.concatenate(
-        [jnp.full_like(marked[:, :1], -1), marked[:, :-1]], axis=1
-    )
-    prev_idx = jax.lax.cummax(shifted, axis=1)
-    got = jnp.take_along_axis(values_flat, jnp.maximum(prev_idx, 0), axis=1)
-    return jnp.where(prev_idx >= 0, got, init)
+    v = jnp.where(first_flat, values_flat, 0)
+    f = first_flat
+    # Exclusive: start from the previous position.
+    v = jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+    f = jnp.concatenate([jnp.zeros_like(f[:, :1]), f[:, :-1]], axis=1)
+    d = 1
+    while d < n:
+        vs = jnp.concatenate([jnp.zeros_like(v[:, :d]), v[:, :-d]], axis=1)
+        fs = jnp.concatenate([jnp.zeros_like(f[:, :d]), f[:, :-d]], axis=1)
+        v = jnp.where(f, v, vs)
+        f = f | fs
+        d <<= 1
+    return jnp.where(f, v, init)
 
 
 def build_dc_layout(quant_dc, raw_qf, strategy, is_first, ytox, ytob,

@@ -584,6 +584,8 @@ def _encode_middle(
     shp = nzeros_total.shape
     size_b = jnp.broadcast_to((covered * 64)[:, None], shp)
     prev_init = (nzeros_total <= (size_b >> 4)).astype(jnp.int32)
+    # `ordered` is in EMISSION layout [G,32,32,3,128] (kernel F writes it
+    # that way — see quantize_cells); all other maps stay channel-major.
     return dict(
         ordered=ordered,
         nzeros_total=nzeros_total,
@@ -642,20 +644,24 @@ def encode_groups_stream(
     shp = m["nzeros_total"].shape
     covered_b = jnp.broadcast_to(m["covered"][:, None], shp)
     first_b = jnp.broadcast_to(first[:, None], shp)
+    chan = jnp.asarray(_EMIT_CHAN)
+
+    def em(a):  # small [G,3,32,32] map -> emission order [G,32,32,3]
+        return a[:, chan].transpose(0, 2, 3, 1)
+
+    ordered_em = m["ordered"]  # already emission-ordered (kernel F)
     if not os.environ.get("JXL_TOKENIZE_FUSED"):
         from .pack_kernels import compact_stream
         from .tokenize_kernel import tokenize_cells
 
-        chan = jnp.asarray(_EMIT_CHAN)
-        tokens_full, count_full = tokenize_cells(
-            m["ordered"], covered_b, m["nzeros_total"], m["block_ctx"],
-            m["nzero_ctx"], m["prev_init"], first_b,
+        tokens_em, count_em = tokenize_cells(
+            ordered_em, em(covered_b), em(m["nzeros_total"]),
+            em(m["block_ctx"]), em(m["nzero_ctx"]), em(m["prev_init"]),
+            em(first_b),
         )
-        rows_tok = (
-            tokens_full[:, chan].transpose(0, 2, 3, 1, 4).reshape(g, -1, 128)
+        stream, totals = compact_stream(
+            tokens_em.reshape(g, -1, 128), count_em.reshape(g, -1), cap
         )
-        rows_cnt = count_full[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
-        stream, totals = compact_stream(rows_tok, rows_cnt, cap)
         return stream, totals, m["quant_dc"]
     meta_cell = pack_row_meta(
         covered_b,
@@ -675,13 +681,11 @@ def encode_groups_stream(
         ),
         0,
     )
-    chan = jnp.asarray(_EMIT_CHAN)
-    ordered_em = (
-        m["ordered"][:, chan].transpose(0, 2, 3, 1, 4).reshape(g, -1, 128)
+    meta_em = em(meta_cell).reshape(g, -1)
+    cnt_em = em(cnt_cell).reshape(g, -1)
+    stream, totals = tokenize_compact(
+        ordered_em.reshape(g, -1, 128), meta_em, cnt_em, cap
     )
-    meta_em = meta_cell[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
-    cnt_em = cnt_cell[:, chan].transpose(0, 2, 3, 1).reshape(g, -1)
-    stream, totals = tokenize_compact(ordered_em, meta_em, cnt_em, cap)
     return stream, totals, m["quant_dc"]
 
 
@@ -726,8 +730,13 @@ def encode_groups(
             scale, scale_dc, x_qm_mul, first,
         )
         shp = m["nzeros_total"].shape
+        # kernel F emits `ordered` in emission layout; this legacy route's
+        # consumers expect channel-major tokens — transpose back here
+        # (_EMIT_CHAN is its own inverse).
+        chan = jnp.asarray(_EMIT_CHAN)
+        ordered_cm = m["ordered"].transpose(0, 3, 1, 2, 4)[:, chan]
         tokens_full, count_full = tokenize_cells(
-            m["ordered"],
+            ordered_cm,
             jnp.broadcast_to(m["covered"][:, None], shp),
             m["nzeros_total"],
             m["block_ctx"],

@@ -55,7 +55,12 @@ def _quant_kernel(
         )
 
     c8 = c8_ref[0]  # [3,8,32,64]
-    cv = cv_ref[0]  # [3,8,32,128] (rows pre-expanded by the caller)
+    # [3,4,32,128] natural v-rows -> cell rows x2 (static major-axis
+    # slices; both cells of a 16x8 transform read the same coefficients).
+    cvn = cv_ref[0]
+    cv = jnp.concatenate(
+        [cvn[:, k // 2 : k // 2 + 1] for k in range(8)], axis=1
+    )  # [3,8,32,128]
     chh = chh_ref[0]  # [3,8,32,128] (cols pre-expanded by the caller)
 
     def coefs_ch(ci):
@@ -120,6 +125,7 @@ def _quant_kernel(
     lanes = jax.lax.broadcasted_iota(jnp.int32, (8, 32, 128), 2)
     covered = jnp.where(c2, 2, 1)[..., None]
     in_range = (lanes >= covered) & (lanes < covered * 64)
+    ods = [None, None, None]
     for ci, q in ((0, qx), (1, qy), (2, qb)):
         qf2 = q.astype(jnp.float32).reshape(256, 128)
         # HIGH (bf16x3) is EXACT for a one-hot operand: each output picks
@@ -136,13 +142,17 @@ def _quant_kernel(
             preferred_element_type=jnp.float32,
         ).reshape(8, 32, 128)
         od = jnp.where(c2l, o16, o8).astype(jnp.int32)
-        ord_ref[0, ci] = od
+        ods[ci] = od
         nzm = (od != 0) & in_range
         nz_ref[0, ci] = nzm.sum(axis=-1)
         # Highest zig-zag position holding a nonzero (0 when none): with
         # `covered` this determines the cell's token count up front, so the
         # fused tokenize+compact kernel can precompute stream positions.
         ln_ref[0, ci] = jnp.max(jnp.where(nzm, lanes, 0), axis=-1)
+    # Emission layout [cells..., channel, 128], channel order Y, X, B
+    # (enc_group.cc:448): the tokenizer's emission rows come out as a free
+    # reshape instead of a [G,3,32,32,128] channel transpose in HBM.
+    ord_ref[0] = jnp.stack([ods[1], ods[0], ods[2]], axis=2)
 
 
 def quantize_cells(
@@ -152,7 +162,8 @@ def quantize_cells(
     """coef8: [G,3,32,32,64]; coef_v: [G,3,16,32,128]; coef_h:
     [G,3,32,16,128]; strategy/raw_qf/fac_x/fac_b: [G,32,32].
 
-    Returns (ordered [G,3,32,32,128] i32 zig-zag quantized coefficients,
+    Returns (ordered_em [G,32,32,3,128] i32 zig-zag quantized coefficients
+    in EMISSION layout — raster cells, channel order Y,X,B within a cell —
     nzeros_total [G,3,32,32] i32, qdc [G,3,2,32,32] i32 per-first-cell DC
     pairs, channel order X,Y,B, last_nz [G,3,32,32] i32 highest nonzero
     zig-zag position)."""
@@ -166,7 +177,7 @@ def quantize_cells(
         grid=(g, 4),
         in_specs=[
             pl.BlockSpec((1, 3, 8, 32, 64), lambda i, y: (i, 0, y, 0, 0)),
-            pl.BlockSpec((1, 3, 8, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
+            pl.BlockSpec((1, 3, 4, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
             pl.BlockSpec((1, 3, 8, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
             pl.BlockSpec((1, 8, 32), lambda i, y: (i, y, 0)),
             pl.BlockSpec((1, 8, 32), lambda i, y: (i, y, 0)),
@@ -179,13 +190,13 @@ def quantize_cells(
             pl.BlockSpec((128, 128), lambda i, y: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, 8, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
+            pl.BlockSpec((1, 8, 32, 3, 128), lambda i, y: (i, y, 0, 0, 0)),
             pl.BlockSpec((1, 3, 8, 32), lambda i, y: (i, 0, y, 0)),
             pl.BlockSpec((1, 3, 2, 8, 32), lambda i, y: (i, 0, 0, y, 0)),
             pl.BlockSpec((1, 3, 8, 32), lambda i, y: (i, 0, y, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, 3, 32, 32, 128), jnp.int32),
+            jax.ShapeDtypeStruct((g, 32, 32, 3, 128), jnp.int32),
             jax.ShapeDtypeStruct((g, 3, 32, 32), jnp.int32),
             jax.ShapeDtypeStruct((g, 3, 2, 32, 32), jnp.int32),
             jax.ShapeDtypeStruct((g, 3, 32, 32), jnp.int32),
@@ -193,7 +204,7 @@ def quantize_cells(
         interpret=_interpret(),
     )(
         coef8.reshape(g, 3, 32, 32, 64),
-        jnp.repeat(coef_v, 2, axis=2),
+        coef_v,
         jnp.repeat(coef_h, 2, axis=3),
         strategy.astype(jnp.int32),
         raw_qf.astype(jnp.int32),
