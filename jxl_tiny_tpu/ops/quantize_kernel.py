@@ -127,21 +127,28 @@ def _quant_kernel(
     in_range = (lanes >= covered) & (lanes < covered * 64)
     ods = [None, None, None]
     for ci, q in ((0, qx), (1, qy), (2, qb)):
-        qf2 = q.astype(jnp.float32).reshape(256, 128)
-        # HIGH (bf16x3) is EXACT for a one-hot operand: each output picks
-        # one integer value a = a_hi + a_lo, both terms multiplied by an
-        # exact 0/1 and summed in the f32 accumulator.
-        o8 = jax.lax.dot_general(
-            qf2, p8_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).reshape(8, 32, 128)
-        o16 = jax.lax.dot_general(
-            qf2, p16_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        ).reshape(8, 32, 128)
-        od = jnp.where(c2l, o16, o8).astype(jnp.int32)
+        # One-hot permutation matmuls in two exact bf16 8-bit chunks:
+        # |q| <= AC_COEF_CLAMP < 2^15, so q + 2^15 fits 16 unsigned bits;
+        # each permutation output picks exactly one input, and every
+        # permutation row sums to 1, so the bias maps through and is
+        # subtracted back. Ints <= 255 are bf16-exact; full-rate MXU
+        # instead of the 6-pass HIGHEST f32 path (~2.5 ms/8MP saved).
+        qb16 = (q + (1 << 15)).astype(jnp.uint32).reshape(256, 128)
+
+        def perm(p_ref):
+            out = jnp.zeros((256, 128), jnp.int32)
+            for sh8 in (0, 8):
+                part = jax.lax.dot_general(
+                    ((qb16 >> sh8) & 0xFF).astype(jnp.bfloat16), p_ref[...],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out = out | (part.astype(jnp.int32) << sh8)
+            return (out - (1 << 15)).reshape(8, 32, 128)
+
+        o8 = perm(p8_ref)
+        o16 = perm(p16_ref)
+        od = jnp.where(c2l, o16, o8)
         ods[ci] = od
         nzm = (od != 0) & in_range
         nz_ref[0, ci] = nzm.sum(axis=-1)

@@ -69,44 +69,50 @@ def _family(coef_c, coef_y, qm, q, cf, slope):
 
 
 def _estimate_kernel(
-    c8c_ref, c8y_ref, cvc_ref, cvy_ref, chc_ref, chy_ref,
+    c8_ref, cv_ref, ch_ref,
     q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
     qm8_ref, qm16_ref,
     o8_ref, ov_ref, oh_ref, *, slope,
 ):
-    c = pl.program_id(1)
-    # Whole [3, S] tables ride in; the channel row is a dynamic sublane
-    # slice (a (1, S) block per channel would violate the (8, 128)
-    # block-divisibility rule).
-    qm8 = qm8_ref[pl.ds(c, 1), :]  # [1,64]
-    qm16 = qm16_ref[pl.ds(c, 1), :]  # [1,128]
+    # One grid step per group: all three channels of each coefficient set
+    # ride in one block (read once), the CfL term reads the in-block Y.
+    for ci in range(3):
+        qm8 = qm8_ref[ci : ci + 1, :]  # [1,64]
+        qm16 = qm16_ref[ci : ci + 1, :]  # [1,128]
 
-    def cf_of(f_ref):
-        f = f_ref[0]
-        # cf = fac_x for X (c=0), 0 for Y (c=1), fac_b for B (c=2); the
-        # fac blocks carry (fac_x, fac_b) stacked on axis 0.
-        return jnp.where(c == 0, f[0], jnp.where(c == 1, 0.0, f[1]))
+        def cf_of(f_ref):
+            f = f_ref[0]
+            # cf = fac_x for X (0), 0 for Y (1), fac_b for B (2); the fac
+            # blocks carry (fac_x, fac_b) stacked on axis 0.
+            if ci == 0:
+                return f[0]
+            if ci == 2:
+                return f[1]
+            return jnp.zeros_like(f[0])
 
-    ent, il, il2 = _family(
-        c8c_ref[0, 0], c8y_ref[0, 0], qm8, q8_ref[0], cf_of(f8_ref), slope
-    )
-    o8_ref[0, 0, 0] = ent
-    o8_ref[0, 0, 1] = il
-    o8_ref[0, 0, 2] = il2
+        ent, il, il2 = _family(
+            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], cf_of(f8_ref),
+            slope,
+        )
+        o8_ref[0, ci, 0] = ent
+        o8_ref[0, ci, 1] = il
+        o8_ref[0, ci, 2] = il2
 
-    ent, il, il2 = _family(
-        cvc_ref[0, 0], cvy_ref[0, 0], qm16, qv_ref[0], cf_of(fv_ref), slope
-    )
-    ov_ref[0, 0, 0] = ent
-    ov_ref[0, 0, 1] = il
-    ov_ref[0, 0, 2] = il2
+        ent, il, il2 = _family(
+            cv_ref[0, ci], cv_ref[0, 1], qm16, qv_ref[0], cf_of(fv_ref),
+            slope,
+        )
+        ov_ref[0, ci, 0] = ent
+        ov_ref[0, ci, 1] = il
+        ov_ref[0, ci, 2] = il2
 
-    ent, il, il2 = _family(
-        chc_ref[0, 0], chy_ref[0, 0], qm16, qh_ref[0], cf_of(fh_ref), slope
-    )
-    oh_ref[0, 0, 0] = ent
-    oh_ref[0, 0, 1] = il
-    oh_ref[0, 0, 2] = il2
+        ent, il, il2 = _family(
+            ch_ref[0, ci], ch_ref[0, 1], qm16, qh_ref[0], cf_of(fh_ref),
+            slope,
+        )
+        oh_ref[0, ci, 0] = ent
+        oh_ref[0, ci, 1] = il
+        oh_ref[0, ci, 2] = il2
 
 
 def estimate_partials(
@@ -123,27 +129,24 @@ def estimate_partials(
     kern = functools.partial(_estimate_kernel, slope=float(slope))
     return pl.pallas_call(
         kern,
-        grid=(g, 3),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, c: (i, c, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, c: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, c: (i, c, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, c: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, c: (i, c, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, c: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 32, 32), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 16, 32), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 32, 16), lambda i, c: (i, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 32), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 16, 32), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 16), lambda i, c: (i, 0, 0, 0)),
-            pl.BlockSpec((3, 64), lambda i, c: (0, 0)),
-            pl.BlockSpec((3, 128), lambda i, c: (0, 0)),
+            pl.BlockSpec((1, 3, 32, 32, 64), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 16, 32, 128), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 32, 16, 128), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 32), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 16, 32), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 64), lambda i: (0, 0)),
+            pl.BlockSpec((3, 128), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 3, 32, 32), lambda i, c: (i, c, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 3, 16, 32), lambda i, c: (i, c, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 3, 32, 16), lambda i, c: (i, c, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 32, 32), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 16, 32), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 32, 16), lambda i: (i, 0, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, 3, 3, 32, 32), jnp.float32),
@@ -153,10 +156,7 @@ def estimate_partials(
         interpret=_interpret(),
     )(
         coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
-        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
         coef_v.astype(jnp.float32),
-        coef_v.astype(jnp.float32),
-        coef_h.astype(jnp.float32),
         coef_h.astype(jnp.float32),
         q8.astype(jnp.float32),
         qv.astype(jnp.float32),
