@@ -133,13 +133,17 @@ def _quant_kernel(
         # permutation row sums to 1, so the bias maps through and is
         # subtracted back. Ints <= 255 are bf16-exact; full-rate MXU
         # instead of the 6-pass HIGHEST f32 path (~2.5 ms/8MP saved).
-        qb16 = (q + (1 << 15)).astype(jnp.uint32).reshape(256, 128)
+        # i32 throughout: Mosaic has no u32->bf16 lowering on hardware, and
+        # q + 2^15 is non-negative < 2^16 so i32 shifts/masks are exact.
+        qb16 = (q + (1 << 15)).reshape(256, 128)
 
         def perm(p_ref):
             out = jnp.zeros((256, 128), jnp.int32)
             for sh8 in (0, 8):
                 part = jax.lax.dot_general(
-                    ((qb16 >> sh8) & 0xFF).astype(jnp.bfloat16), p_ref[...],
+                    ((qb16 >> sh8) & 0xFF).astype(jnp.float32).astype(
+                        jnp.bfloat16
+                    ), p_ref[...],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
