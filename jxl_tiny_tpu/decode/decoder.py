@@ -59,7 +59,22 @@ def decode_jxl(data: bytes, return_xyb=False, filters=False, crop=True):
         raise DecodeError(f"malformed codestream: {type(e).__name__}: {e}") from e
 
 
-def _decode_jxl_impl(data: bytes, return_xyb, filters, crop):
+def section_spans(data: bytes):
+    """Byte spans of each codestream section, by decoding `data`:
+    [(name, start, end)] with names 'header', 'dc_global', 'dc_group',
+    'ac_global', 'ac_group'. For collapsed-TOC streams (num_sections == 4,
+    enc_frame.cc:572-595) sections share bytes at the seams (bit-level
+    concatenation) so spans are rounded outward to whole bytes and may
+    overlap by one. Used by the fuzz tests to mask the known-inert table
+    regions (unused prefix-code depths / cluster ids live only in the
+    global sections) when tightening silent-identity bounds."""
+    spans = []
+    _decode_jxl_impl(data, return_xyb=True, filters=False, crop=False,
+                     spans=spans)
+    return spans
+
+
+def _decode_jxl_impl(data: bytes, return_xyb, filters, crop, spans=None):
     r = BitReader(data)
     _expect(r, 8, 0xFF, "signature")
     _expect(r, 8, 0x0A, "marker")
@@ -170,20 +185,38 @@ def _decode_jxl_impl(data: bytes, return_xyb, filters, crop):
 
     state = _DecoderState(dim, x_qm_scale)
 
+    if spans is not None:
+        spans.append(("header", 0, base))
+
+    def span(name, rr, k, fn, *args):
+        if spans is None or not sequential:
+            if spans is not None:
+                spans.append(
+                    ("", int(base + offsets[k]), int(base + offsets[k + 1]))
+                )
+            fn(rr, *args)
+            if spans is not None:
+                spans[-1] = (name,) + spans[-1][1:]
+            return
+        start = rr.pos
+        fn(rr, *args)
+        spans.append((name, base + start // 8, base + -(-rr.pos // 8)))
+
     # Section order: DCGlobal, DCGroups..., ACGlobal, ACGroups...
     sr = section_readers[0]
-    _decode_dc_global(sr, state)
+    span("dc_global", sr, 0, _decode_dc_global, state)
     end_section(sr if sequential else section_readers[0])
     for i in range(dim.num_dc_groups):
         rr = sr if sequential else section_readers[1 + i]
-        _decode_dc_group(rr, state, i)
+        span("dc_group", rr, 1 + i, _decode_dc_group, state, i)
         end_section(rr)
     rr = sr if sequential else section_readers[1 + dim.num_dc_groups]
-    _decode_ac_global(rr, state)
+    span("ac_global", rr, 1 + dim.num_dc_groups, _decode_ac_global, state)
     end_section(rr)
     for i in range(dim.num_groups):
         rr = sr if sequential else section_readers[2 + dim.num_dc_groups + i]
-        _decode_ac_group(rr, state, i)
+        span("ac_group", rr, 2 + dim.num_dc_groups + i, _decode_ac_group,
+             state, i)
         end_section(rr)
     if sequential:
         sr.zero_pad_to_byte()
@@ -383,6 +416,11 @@ def _decode_dc_group(r, state, idx):
         ctx = 3 if left > 11 else 4 if left > 5 else 5 if left > 3 else 6
         residual = unpack_signed(tok.read(ctx))
         cur = left + residual
+        if not 0 <= cur <= 254:
+            # raw quant field is uint8 in 1..255
+            # (enc_adaptive_quantization.cc:518-534); an out-of-range delta
+            # is a malformed stream, not a ZeroDivisionError later.
+            raise DecodeError(f"quant field value {cur + 1} out of range")
         typ = strat_sb[by, bx]
         cy, cx = int(C.COVERED_Y[typ]), int(C.COVERED_X[typ])
         qf[by : by + cy, bx : bx + cx] = cur + 1

@@ -362,7 +362,7 @@ def tokenize_compact(ordered_em, meta_em, cnt_em, cap, levels=MERGE_LEVELS):
                 (1, levels, rows // 128 + 1, 128), lambda i: (i, 0, 0, 0)
             ),
             pl.BlockSpec((1, rows // 128, 128), lambda i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((128, 128), lambda i: (0, 0)),
             pl.BlockSpec((2, 128), lambda i: (0, 0)),
         ],

@@ -66,3 +66,57 @@ def test_batched_program_matches_per_image():
     outs = encode_batch_device(imgs, 1.0, upload_dtype=None)
     for im, d in zip(imgs, outs):
         assert d == encode_image_device(im, 1.0, upload_dtype=None)
+
+
+def test_native_packer_not_stale():
+    """The committed cpp/libjxlpack.so must behave identically to a fresh
+    build of cpp/pack.cc. Guards against editing pack.cc without rebuilding:
+    a fresh checkout gives source and binary the same mtime, so build.py's
+    mtime check alone would silently load the stale binary."""
+    import ctypes
+    import shutil
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from jxl_tiny_tpu import cpp
+
+    if not cpp.have_native():
+        import pytest
+
+        pytest.skip("no native packer (no compiler?)")
+    if shutil.which("g++") is None:
+        import pytest
+
+        pytest.skip("g++ unavailable")
+
+    from jxl_tiny_tpu.cpp import build as B
+
+    rng = np.random.RandomState(0)
+    nbits = rng.randint(0, 57, size=4096).astype(np.uint8)
+    bits = (
+        rng.randint(0, 1 << 62, size=4096, dtype=np.int64).astype(np.uint64)
+        & ((np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1))
+    )
+    committed = B.pack_bits_native(nbits, bits)
+
+    with tempfile.TemporaryDirectory() as td:
+        so = f"{td}/libjxlpack_fresh.so"
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-march=native", "-o", so,
+             B._SRC],
+            check=True,
+            capture_output=True,
+        )
+        lib = ctypes.CDLL(so)
+        lib.pack_bits.restype = ctypes.c_int64
+        lib.pack_bits.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                  ctypes.c_int64, ctypes.c_void_p]
+        total = int(nbits.sum(dtype=np.int64))
+        out = np.zeros(total // 8 + 16, np.uint8)
+        got = lib.pack_bits(nbits.ctypes.data, bits.ctypes.data, len(nbits),
+                            out.ctypes.data)
+        assert got == total
+        fresh = (out[: (total + 7) // 8].tobytes(), total)
+    assert committed == fresh

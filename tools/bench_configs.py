@@ -92,7 +92,15 @@ def ref_mode():
 
 
 def _sync(x):
-    np.asarray(np.asarray(x).ravel()[:1])
+    # One-element fetch of a FRESH device array (x.ravel() is a new device
+    # op each call). np.asarray(x) first would be wrong twice over: it
+    # downloads the whole buffer, and jax.Array caches the host copy, so a
+    # second call returns in ~0 s — which is exactly how the round-3
+    # tunnel-RT probe broke and made device_compute_est_mps collapse to
+    # equal mps (75.88 vs BENCH_r03's 193.8, VERDICT r3 missing #1).
+    import jax.numpy as jnp
+
+    np.asarray(jnp.ravel(x)[:1])
 
 
 def tpu_mode():
@@ -202,6 +210,18 @@ def tpu_mode():
         bpp=round(8 * len(data) / (mp * 1e6), 4),
         mp=round(mp, 1),
     )
+
+    # Date every TPU cell (VERDICT r3 task 2: "every TPU cell dated to the
+    # round that measured it"). e2e/aggregate rows ride the tunnel and move
+    # 2x with hour-to-hour link load; the stamp is what makes two windows'
+    # rows comparable at all.
+    stamp = dict(
+        round=os.environ.get("JXL_BENCH_ROUND", "r04"),
+        date=time.strftime("%Y-%m-%d"),
+    )
+    for k in rows:
+        if k.startswith("tpu_"):
+            rows[k]["measured"] = stamp
 
     _merge(rows)
 
