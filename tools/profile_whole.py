@@ -11,7 +11,7 @@ program. The per-stage cost is the *delta* between consecutive prefixes, and
 the deltas sum to the full program's time BY CONSTRUCTION — the ledger
 reconciles exactly, unlike isolated-stage slope microbenches (bench_back.py),
 which measure each stage with cold HBM inputs and no fusion context and
-overcounted round 3's stage wins by ~3x (see tools/profile_r04.md).
+overcounted round 3's stage wins by ~3x (see tools/artifacts/profile_r04.md).
 
 The forcing scalar costs one extra HBM read of each stage's outputs per
 prefix (~0.1-0.3 ms for the 212 MB intermediates); identical in consecutive
