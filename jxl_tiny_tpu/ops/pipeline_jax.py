@@ -411,39 +411,63 @@ def compute_ac_strategy(
     mul16 = F32(0.9019587899705066 + (-0.55) / (distance + 1.6))
 
     # Vertical candidates: q/mask max over (2r, 2r+1); cf at top cell;
-    # horizontal likewise over (2c, 2c+1).
-    q_v = jnp.maximum(qf[:, ::2], qf[:, 1::2])  # [G,16,32]
-    m_v = jnp.maximum(masking[:, ::2], masking[:, 1::2])
-    q_h = jnp.maximum(qf[:, :, ::2], qf[:, :, 1::2])  # [G,32,16]
-    m_h = jnp.maximum(masking[:, :, ::2], masking[:, :, 1::2])
+    # horizontal likewise over (2c, 2c+1). Even/odd via reshape (see the
+    # quad-decision note below — strided slices gather on TPU).
+    qf_r = qf.reshape(g, 16, 2, 32)
+    mk_r = masking.reshape(g, 16, 2, 32)
+    q_v = jnp.maximum(qf_r[:, :, 0], qf_r[:, :, 1])  # [G,16,32]
+    m_v = jnp.maximum(mk_r[:, :, 0], mk_r[:, :, 1])
+    qf_c = qf.reshape(g, 32, 16, 2)
+    mk_c = masking.reshape(g, 32, 16, 2)
+    q_h = jnp.maximum(qf_c[..., 0], qf_c[..., 1])  # [G,32,16]
+    m_h = jnp.maximum(mk_c[..., 0], mk_c[..., 1])
 
     # All three candidate-entropy families in one Pallas pass over the
     # coefficient sets (ops/strategy_kernel; the jnp twin _estimate_entropy
-    # is kept as the reference model).
-    from .strategy_kernel import combine_partials, estimate_partials
+    # is kept as the reference model). Hardware runs the lane-packed v2
+    # (full-width VPU ops + MXU cell reductions — measured faster on the
+    # v5e); interpret/CPU runs v1, which is bit-exact to the jnp twin.
+    from .pack_kernels import _interpret
+    from .strategy_kernel import (
+        combine_partials, estimate_partials, estimate_partials_v2,
+    )
 
+    est = estimate_partials if _interpret() else estimate_partials_v2
     slope = min(1.0, distance / 3.0)
-    p8, pv, ph = estimate_partials(
+    p8, pv, ph = est(
         coef8.reshape(g, 3, 32, 32, 64), coef_v, coef_h,
         qf, q_v, q_h,
         jnp.stack([fac_x, fac_b], axis=1),
-        jnp.stack([fac_x[:, ::2], fac_b[:, ::2]], axis=1),
-        jnp.stack([fac_x[:, :, ::2], fac_b[:, :, ::2]], axis=1),
+        jnp.stack(
+            [fac_x.reshape(g, 16, 2, 32)[:, :, 0],
+             fac_b.reshape(g, 16, 2, 32)[:, :, 0]], axis=1
+        ),
+        jnp.stack(
+            [fac_x.reshape(g, 32, 16, 2)[..., 0],
+             fac_b.reshape(g, 32, 16, 2)[..., 0]], axis=1
+        ),
         qm8, qm16, slope,
     )
     e8_all = F32(3.0) * mul8 + mul8 * combine_partials(p8, masking, 1)
     ev_all = mul16 * combine_partials(pv, m_v, 2)
     eh_all = mul16 * combine_partials(ph, m_h, 2)
 
-    # Quad decisions [G,16,16].
-    e00 = e8_all[:, ::2, ::2]
-    e01 = e8_all[:, ::2, 1::2]
-    e10 = e8_all[:, 1::2, ::2]
-    e11 = e8_all[:, 1::2, 1::2]
-    ev_l = ev_all[:, :, ::2]
-    ev_r = ev_all[:, :, 1::2]
-    eh_t = eh_all[:, ::2, :]
-    eh_b = eh_all[:, 1::2, :]
+    # Quad decisions [G,16,16]. Even/odd extraction and re-interleave go
+    # through reshape/stack (stablehlo.slice + concatenate): the former
+    # strided-slice + .at[::2].set forms lowered to 16 gathers + 8
+    # scatters, which serialize on TPU (~3 ms of the round-4 trace for
+    # [G,16,16]-sized maps).
+    r8 = e8_all.reshape(g, 16, 2, 16, 2)
+    e00 = r8[:, :, 0, :, 0]
+    e01 = r8[:, :, 0, :, 1]
+    e10 = r8[:, :, 1, :, 0]
+    e11 = r8[:, :, 1, :, 1]
+    rv = ev_all.reshape(g, 16, 16, 2)
+    ev_l = rv[..., 0]
+    ev_r = rv[..., 1]
+    rh = eh_all.reshape(g, 16, 2, 16)
+    eh_t = rh[:, :, 0]
+    eh_b = rh[:, :, 1]
     cost16x8 = jnp.minimum(ev_l, e00 + e10) + jnp.minimum(ev_r, e01 + e11)
     cost8x16 = jnp.minimum(eh_t, e00 + e01) + jnp.minimum(eh_b, e10 + e11)
     pick_v = cost16x8 < cost8x16
@@ -458,12 +482,14 @@ def compute_ac_strategy(
     h_t = quad_ok & ~pick_v & (eh_t < e00 + e01)
     h_b = quad_ok & ~pick_v & (eh_b < e10 + e11)
 
-    vfirst = jnp.zeros((g, 32, 32), bool)
-    vfirst = vfirst.at[:, ::2, ::2].set(v_l)
-    vfirst = vfirst.at[:, ::2, 1::2].set(v_r)
-    hfirst = jnp.zeros((g, 32, 32), bool)
-    hfirst = hfirst.at[:, ::2, ::2].set(h_t)
-    hfirst = hfirst.at[:, 1::2, ::2].set(h_b)
+    z16 = jnp.zeros((g, 16, 16), bool)
+    row_even = jnp.stack([v_l, v_r], axis=-1).reshape(g, 16, 32)
+    vfirst = jnp.stack(
+        [row_even, jnp.zeros((g, 16, 32), bool)], axis=2
+    ).reshape(g, 32, 32)
+    row_t = jnp.stack([h_t, z16], axis=-1).reshape(g, 16, 32)
+    row_b = jnp.stack([h_b, z16], axis=-1).reshape(g, 16, 32)
+    hfirst = jnp.stack([row_t, row_b], axis=2).reshape(g, 32, 32)
 
     second_v = _shift0(vfirst, -1, -2)
     second_h = _shift0(hfirst, -1, -1)

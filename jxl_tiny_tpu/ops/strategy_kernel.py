@@ -169,6 +169,146 @@ def estimate_partials(
     )
 
 
+def _family_dotred(coef_c, coef_y, qm, q, cf, slope, rshape):
+    """v2 family: elementwise math in v1's natural layout, but the five
+    per-cell reductions (il, il2, sqrt-sum, above-1.5 count, nonzero
+    count) ride the MXU as one [5R, S] @ ones[S, 1] dot instead of five
+    minor-dim shuffle-reduce ladders (the dominant cost of v1 on a v5e).
+    Float sum order differs from the sequential twin, which the strategy
+    contract allows on hardware (see module docstring)."""
+    val = (coef_c - cf[..., None] * coef_y) * qm * q[..., None]
+    rval = jnp.round(val)
+    diff = jnp.abs(val - rval)
+    aq = jnp.abs(rval)
+    parts = [
+        diff,
+        diff * diff,
+        jnp.sqrt(aq),
+        (aq >= 1.5).astype(jnp.float32),
+        (rval != 0).astype(jnp.float32),
+    ]
+    s_ = coef_c.shape[-1]
+    red = jnp.concatenate([x.reshape(rshape, s_) for x in parts], axis=0)
+    sums = jax.lax.dot(
+        red, jnp.ones((s_, 1), jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [5R, 1]
+    il, il2, sq, a15, nzf = (
+        sums[:rshape], sums[rshape:2 * rshape], sums[2 * rshape:3 * rshape],
+        sums[3 * rshape:4 * rshape], sums[4 * rshape:],
+    )
+    ent = (
+        a15 * K_ABOVE15
+        + sq * K_SQRT
+        + nzf * F32(1.0 + slope * float(K_NZ_SLOPE))
+    )
+    nbits = _ceil_log2_nz(nzf + 1) + 1.0
+    ent = ent + K_NBITS * (
+        _ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits
+    )
+    return ent, il, il2
+
+
+def _estimate_kernel_v2(
+    c8_ref, cv_ref, ch_ref,
+    q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
+    qm8_ref, qm16_ref,
+    o8_ref, ov_ref, oh_ref, *, slope,
+):
+    for ci in range(3):
+        qm8 = qm8_ref[ci : ci + 1, :]  # [1,64]
+        qm16 = qm16_ref[ci : ci + 1, :]  # [1,128]
+
+        def cf_of(f_ref):
+            f = f_ref[0]
+            if ci == 0:
+                return f[0]
+            if ci == 2:
+                return f[1]
+            return jnp.zeros_like(f[0])
+
+        ent, il, il2 = _family_dotred(
+            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], cf_of(f8_ref),
+            slope, 1024,
+        )
+        o8_ref[0, ci, 0] = ent
+        o8_ref[0, ci, 1] = il
+        o8_ref[0, ci, 2] = il2
+
+        ent, il, il2 = _family_dotred(
+            cv_ref[0, ci], cv_ref[0, 1], qm16, qv_ref[0], cf_of(fv_ref),
+            slope, 512,
+        )
+        ov_ref[0, ci, 0] = ent
+        ov_ref[0, ci, 1] = il
+        ov_ref[0, ci, 2] = il2
+
+        ent, il, il2 = _family_dotred(
+            ch_ref[0, ci], ch_ref[0, 1], qm16, qh_ref[0], cf_of(fh_ref),
+            slope, 512,
+        )
+        oh_ref[0, ci, 0] = ent
+        oh_ref[0, ci, 1] = il
+        oh_ref[0, ci, 2] = il2
+
+
+def estimate_partials_v2(
+    coef8, coef_v, coef_h, q8, qv, qh, fac8, facv, fach, qm8, qm16, slope
+):
+    """Hardware variant of estimate_partials: same contract and inputs; the
+    per-cell reductions run as MXU dots (float order differs from v1, which
+    the strategy heuristic allows — the CPU/interpret pipeline keeps v1 for
+    twin bit-exactness). Outputs [G,3,3,...] partials identical in shape."""
+    g = coef8.shape[0]
+    kern = functools.partial(_estimate_kernel_v2, slope=float(slope))
+    o8, ov, oh = pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 3, 32, 32, 64), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 16, 32, 128), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 32, 16, 128), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 32), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 16, 32), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3, 64), lambda i: (0, 0)),
+            pl.BlockSpec((3, 128), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, 3, 1024, 1), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 512, 1), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 3, 512, 1), lambda i: (i, 0, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 3, 3, 1024, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 3, 512, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 3, 512, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(
+        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
+        coef_v.astype(jnp.float32),
+        coef_h.astype(jnp.float32),
+        q8.astype(jnp.float32),
+        qv.astype(jnp.float32),
+        qh.astype(jnp.float32),
+        fac8.astype(jnp.float32),
+        facv.astype(jnp.float32),
+        fach.astype(jnp.float32),
+        jnp.asarray(qm8, jnp.float32),
+        jnp.asarray(qm16, jnp.float32),
+    )
+    return (
+        o8.reshape(g, 3, 3, 32, 32),
+        ov.reshape(g, 3, 3, 16, 32),
+        oh.reshape(g, 3, 3, 32, 16),
+    )
+
+
 def combine_partials(p, masking, num_blocks):
     """(ent, il, il2) per-channel partials [G,3,3,...] + masking [G,...]
     -> estimate map [G,...] (the tail of pipeline_jax._estimate_entropy)."""
