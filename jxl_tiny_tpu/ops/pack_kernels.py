@@ -310,9 +310,12 @@ def hist_base64(stream, totals, chunk_tokens=1 << 23):
     u32 cast is exact). CPU/interpret: the original chunked einsum (bit-
     identical counts — both are exact integer histograms, order-invariant
     => byte-identical entropy codes under any group sharding)."""
+    import os
+
     g, cap = stream.shape
     chunk = 2048
-    if not _interpret() and cap % chunk == 0:
+    if (not _interpret() and cap % chunk == 0
+            and os.environ.get("JXL_HIST_KERNEL") == "1"):
         out = pl.pallas_call(
             functools.partial(_hist_kernel, chunk=chunk),
             grid=(g,),

@@ -432,7 +432,13 @@ def compute_ac_strategy(
         combine_partials, estimate_partials, estimate_partials_v2,
     )
 
-    est = estimate_partials if _interpret() else estimate_partials_v2
+    import os as _osm
+
+    est = (
+        estimate_partials_v2
+        if not _interpret() and _osm.environ.get("JXL_STRATEGY_V2") == "1"
+        else estimate_partials
+    )
     slope = min(1.0, distance / 3.0)
     p8, pv, ph = est(
         coef8.reshape(g, 3, 32, 32, 64), coef_v, coef_h,

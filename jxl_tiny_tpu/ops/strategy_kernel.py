@@ -180,24 +180,24 @@ def _family_dotred(coef_c, coef_y, qm, q, cf, slope, rshape):
     rval = jnp.round(val)
     diff = jnp.abs(val - rval)
     aq = jnp.abs(rval)
-    parts = [
-        diff,
-        diff * diff,
-        jnp.sqrt(aq),
-        (aq >= 1.5).astype(jnp.float32),
-        (rval != 0).astype(jnp.float32),
-    ]
     s_ = coef_c.shape[-1]
-    red = jnp.concatenate([x.reshape(rshape, s_) for x in parts], axis=0)
-    sums = jax.lax.dot(
-        red, jnp.ones((s_, 1), jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [5R, 1]
-    il, il2, sq, a15, nzf = (
-        sums[:rshape], sums[rshape:2 * rshape], sums[2 * rshape:3 * rshape],
-        sums[3 * rshape:4 * rshape], sums[4 * rshape:],
-    )
+    ones = jnp.ones((s_, 1), jnp.float32)
+
+    def rsum(x):
+        # Separate small dots rather than one concatenated [5R, S] operand:
+        # the concat's stack temporaries blew the 16 MB scoped-VMEM budget
+        # when this kernel sits inside the full program A.
+        return jax.lax.dot(
+            x.reshape(rshape, s_), ones,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    il = rsum(diff)
+    il2 = rsum(diff * diff)
+    sq = rsum(jnp.sqrt(aq))
+    a15 = rsum((aq >= 1.5).astype(jnp.float32))
+    nzf = rsum((rval != 0).astype(jnp.float32))
     ent = (
         a15 * K_ABOVE15
         + sq * K_SQRT
@@ -211,46 +211,50 @@ def _family_dotred(coef_c, coef_y, qm, q, cf, slope, rshape):
 
 
 def _estimate_kernel_v2(
-    c8_ref, cv_ref, ch_ref,
+    c8_ref, y8_ref, cv_ref, yv_ref, ch_ref, yh_ref,
     q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
     qm8_ref, qm16_ref,
     o8_ref, ov_ref, oh_ref, *, slope,
 ):
-    for ci in range(3):
-        qm8 = qm8_ref[ci : ci + 1, :]  # [1,64]
-        qm16 = qm16_ref[ci : ci + 1, :]  # [1,128]
+    # Grid (G, 3): one (group, channel) per step — one channel's
+    # temporaries at a time keeps the Mosaic stack inside the 16 MB
+    # scoped-VMEM budget when this kernel is embedded in full program A
+    # (the 3-channel-unrolled form allocated 22.6 MB and failed to
+    # compile there). The Y coefficient blocks ride separately with their
+    # channel index pinned to 1 by the BlockSpec index map.
+    ci = pl.program_id(1)
+    qm8 = qm8_ref[0]  # [1,64] — row ci via index map
+    qm16 = qm16_ref[0]  # [1,128]
 
-        def cf_of(f_ref):
-            f = f_ref[0]
-            if ci == 0:
-                return f[0]
-            if ci == 2:
-                return f[1]
-            return jnp.zeros_like(f[0])
-
-        ent, il, il2 = _family_dotred(
-            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], cf_of(f8_ref),
-            slope, 1024,
+    def cf_of(f_ref):
+        f = f_ref[0]
+        return jnp.where(
+            ci == 0, f[0], jnp.where(ci == 2, f[1], jnp.zeros_like(f[0]))
         )
-        o8_ref[0, ci, 0] = ent
-        o8_ref[0, ci, 1] = il
-        o8_ref[0, ci, 2] = il2
 
-        ent, il, il2 = _family_dotred(
-            cv_ref[0, ci], cv_ref[0, 1], qm16, qv_ref[0], cf_of(fv_ref),
-            slope, 512,
-        )
-        ov_ref[0, ci, 0] = ent
-        ov_ref[0, ci, 1] = il
-        ov_ref[0, ci, 2] = il2
+    ent, il, il2 = _family_dotred(
+        c8_ref[0, 0], y8_ref[0, 0], qm8, q8_ref[0], cf_of(f8_ref),
+        slope, 1024,
+    )
+    o8_ref[0, 0, 0] = ent
+    o8_ref[0, 0, 1] = il
+    o8_ref[0, 0, 2] = il2
 
-        ent, il, il2 = _family_dotred(
-            ch_ref[0, ci], ch_ref[0, 1], qm16, qh_ref[0], cf_of(fh_ref),
-            slope, 512,
-        )
-        oh_ref[0, ci, 0] = ent
-        oh_ref[0, ci, 1] = il
-        oh_ref[0, ci, 2] = il2
+    ent, il, il2 = _family_dotred(
+        cv_ref[0, 0], yv_ref[0, 0], qm16, qv_ref[0], cf_of(fv_ref),
+        slope, 512,
+    )
+    ov_ref[0, 0, 0] = ent
+    ov_ref[0, 0, 1] = il
+    ov_ref[0, 0, 2] = il2
+
+    ent, il, il2 = _family_dotred(
+        ch_ref[0, 0], yh_ref[0, 0], qm16, qh_ref[0], cf_of(fh_ref),
+        slope, 512,
+    )
+    oh_ref[0, 0, 0] = ent
+    oh_ref[0, 0, 1] = il
+    oh_ref[0, 0, 2] = il2
 
 
 def estimate_partials_v2(
@@ -262,26 +266,32 @@ def estimate_partials_v2(
     twin bit-exactness). Outputs [G,3,3,...] partials identical in shape."""
     g = coef8.shape[0]
     kern = functools.partial(_estimate_kernel_v2, slope=float(slope))
+    c8 = coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32)
+    cv = coef_v.astype(jnp.float32)
+    ch = coef_h.astype(jnp.float32)
     o8, ov, oh = pl.pallas_call(
         kern,
-        grid=(g,),
+        grid=(g, 3),
         in_specs=[
-            pl.BlockSpec((1, 3, 32, 32, 64), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 16, 32, 128), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 32, 16, 128), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 32), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 16, 32), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
-            pl.BlockSpec((3, 64), lambda i: (0, 0)),
-            pl.BlockSpec((3, 128), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, j: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, j: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, j: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 32, 32), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 32), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 32), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 16, 32), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i, j: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 64), lambda i, j: (j, 0, 0)),
+            pl.BlockSpec((1, 1, 128), lambda i, j: (j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, 3, 1024, 1), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 3, 512, 1), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 3, 512, 1), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 3, 1024, 1), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 3, 512, 1), lambda i, j: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 3, 512, 1), lambda i, j: (i, j, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((g, 3, 3, 1024, 1), jnp.float32),
@@ -290,17 +300,15 @@ def estimate_partials_v2(
         ],
         interpret=_interpret(),
     )(
-        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
-        coef_v.astype(jnp.float32),
-        coef_h.astype(jnp.float32),
+        c8, c8, cv, cv, ch, ch,
         q8.astype(jnp.float32),
         qv.astype(jnp.float32),
         qh.astype(jnp.float32),
         fac8.astype(jnp.float32),
         facv.astype(jnp.float32),
         fach.astype(jnp.float32),
-        jnp.asarray(qm8, jnp.float32),
-        jnp.asarray(qm16, jnp.float32),
+        jnp.asarray(qm8, jnp.float32).reshape(3, 1, 64),
+        jnp.asarray(qm16, jnp.float32).reshape(3, 1, 128),
     )
     return (
         o8.reshape(g, 3, 3, 32, 32),
