@@ -255,93 +255,17 @@ def _uint_token_extra(value):
     return tok, nbits, extra
 
 
-def _hist_kernel(totals_ref, stream_ref, out_ref, *, chunk):
-    """Per-grid-step (one group): accumulate the [64, 64] (base, token)
-    histogram of this group's stream into out_ref (shared block across the
-    whole grid; zero-initialized on step 0). One-hot operands never touch
-    HBM — they live as VMEM chunk intermediates feeding the MXU, which is
-    the entire advantage over the jnp einsum form (whose two [G, cap, 64]
-    bf16 one-hots materialized ~1.1 GB of HBM traffic for the 8MP image,
-    ~2.4 ms of the round-4 whole-program trace)."""
-    i = pl.program_id(0)
-
-    @pl.when(i == 0)
-    def _init():
-        out_ref[...] = jnp.zeros_like(out_ref)
-
-    total = totals_ref[0, 0, 0]
-    cap = stream_ref.shape[2]
-    ar = jax.lax.broadcasted_iota(jnp.int32, (NUM_BASE_CTXS, chunk), 0)
-
-    def body(k, acc):
-        s = stream_ref[0, 0, pl.ds(k * chunk, chunk)].reshape(1, chunk)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-        valid = (lane + k * chunk) < total
-        base = jnp.where(valid, (s >> 16).astype(jnp.int32) & 63, -1)
-        v = (s & 0xFFFF).astype(jnp.int32)
-        # hybrid-uint token id (token.h:24-48), arithmetic-only: exponent
-        # via f32 bitcast (exact for ints < 2^24; matches frexp in the jnp
-        # twin _uint_token_extra).
-        vf = jnp.maximum(v, 16).astype(jnp.float32)
-        n = (jax.lax.bitcast_convert_type(vf, jnp.int32) >> 23) - 127
-        tok_big = (n << 2) + ((v >> jnp.maximum(n - 2, 0)) & 3)
-        tok = jnp.where(valid, jnp.where(v < 16, v, tok_big), -1)
-        a = (base == ar).astype(jnp.bfloat16)  # [64, chunk]
-        b = (tok.reshape(chunk, 1) == ar.T[:, :NUM_BASE_CTXS]).astype(
-            jnp.bfloat16
-        )  # [chunk, 64]
-        return acc + jax.lax.dot(
-            a, b, preferred_element_type=jnp.float32
-        )
-
-    acc = jax.lax.fori_loop(
-        0, cap // chunk, body,
-        jnp.zeros((NUM_BASE_CTXS, NUM_BASE_CTXS), jnp.float32),
-    )
-    out_ref[...] = out_ref[...] + acc
-
-
 def hist_base64(stream, totals, chunk_tokens=1 << 23):
-    """Integer-exact [64, 64] (base ctx, token) histogram.
-
-    TPU: one Pallas kernel (grid over groups; MXU one-hot dots over VMEM
-    chunks, f32 accumulator — exact below 2^24 counts, and the per-group
-    pass keeps any single accumulation under cap < 2^24 tokens; the final
-    u32 cast is exact). CPU/interpret: the original chunked einsum (bit-
-    identical counts — both are exact integer histograms, order-invariant
-    => byte-identical entropy codes under any group sharding)."""
-    import os
-
-    g, cap = stream.shape
-    chunk = 2048
-    if (not _interpret() and cap % chunk == 0
-            and os.environ.get("JXL_HIST_KERNEL") == "1"):
-        out = pl.pallas_call(
-            functools.partial(_hist_kernel, chunk=chunk),
-            grid=(g,),
-            in_specs=[
-                pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, cap), lambda i: (i, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec(
-                (NUM_BASE_CTXS, NUM_BASE_CTXS), lambda i: (0, 0)
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (NUM_BASE_CTXS, NUM_BASE_CTXS), jnp.float32
-            ),
-        )(totals.astype(jnp.int32).reshape(g, 1, 1),
-          stream.reshape(g, 1, cap))
-        return out.astype(jnp.uint32)
-    return _hist_base64_jnp(stream, totals, chunk_tokens)
-
-
-def _hist_base64_jnp(stream, totals, chunk_tokens=1 << 23):
-    """jnp twin of _hist_kernel (kept as the CPU path + comparison model):
-    bf16 one-hot outer product on the MXU, group-chunked so the f32
-    accumulator stays exact (< 2^23 token slots per chunk) and summed as
-    uint32 — exact at any image size, including 64MP+ noisy content where
-    a single (base_ctx, token) bucket exceeds 16.7M."""
+    """Integer-exact [64, 64] histogram via bf16 one-hot outer product on the
+    MXU. Counts are exact in the f32 accumulator only below 2^24, so the
+    contraction is split along the group axis into chunks of < 2^23 token
+    slots and accumulated as uint32 — exact (and therefore shard-invariant)
+    at any image size, including 64MP+ noisy content where a single
+    (base_ctx, token) bucket exceeds 16.7M. Order-invariant integer sum
+    => byte-identical entropy codes under any group sharding. (A round-4
+    Pallas variant that kept the one-hots in VMEM measured ~4.3 vs ~0-2 ms
+    in whole-program context — XLA already fuses the one-hot construction
+    into the dot here — and was deleted; tools/artifacts/profile_r04.md.)"""
     g, cap = stream.shape
     valid = jnp.arange(cap)[None, :] < totals[:, None]
     base = (stream >> 16).astype(jnp.int32) & 63

@@ -424,23 +424,15 @@ def compute_ac_strategy(
 
     # All three candidate-entropy families in one Pallas pass over the
     # coefficient sets (ops/strategy_kernel; the jnp twin _estimate_entropy
-    # is kept as the reference model). Hardware runs the lane-packed v2
-    # (full-width VPU ops + MXU cell reductions — measured faster on the
-    # v5e); interpret/CPU runs v1, which is bit-exact to the jnp twin.
-    from .pack_kernels import _interpret
-    from .strategy_kernel import (
-        combine_partials, estimate_partials, estimate_partials_v2,
-    )
+    # is kept as the reference model). A round-4 variant moved the per-cell
+    # reductions onto the MXU (grid (G,3), ones-vector dots): measured
+    # SLOWER in whole-program context (13.0 vs 8.15 ms window-corrected,
+    # tools/artifacts/profile_r04.md) and deleted — redundant Y-block reads
+    # and latency-bound [R,S]x[S,1] dots beat the shuffle-reduce it saved.
+    from .strategy_kernel import combine_partials, estimate_partials
 
-    import os as _osm
-
-    est = (
-        estimate_partials_v2
-        if not _interpret() and _osm.environ.get("JXL_STRATEGY_V2") == "1"
-        else estimate_partials
-    )
     slope = min(1.0, distance / 3.0)
-    p8, pv, ph = est(
+    p8, pv, ph = estimate_partials(
         coef8.reshape(g, 3, 32, 32, 64), coef_v, coef_h,
         qf, q_v, q_h,
         jnp.stack([fac_x, fac_b], axis=1),

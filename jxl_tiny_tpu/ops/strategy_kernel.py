@@ -169,154 +169,6 @@ def estimate_partials(
     )
 
 
-def _family_dotred(coef_c, coef_y, qm, q, cf, slope, rshape):
-    """v2 family: elementwise math in v1's natural layout, but the five
-    per-cell reductions (il, il2, sqrt-sum, above-1.5 count, nonzero
-    count) ride the MXU as one [5R, S] @ ones[S, 1] dot instead of five
-    minor-dim shuffle-reduce ladders (the dominant cost of v1 on a v5e).
-    Float sum order differs from the sequential twin, which the strategy
-    contract allows on hardware (see module docstring)."""
-    val = (coef_c - cf[..., None] * coef_y) * qm * q[..., None]
-    rval = jnp.round(val)
-    diff = jnp.abs(val - rval)
-    aq = jnp.abs(rval)
-    s_ = coef_c.shape[-1]
-    ones = jnp.ones((s_, 1), jnp.float32)
-
-    def rsum(x):
-        # Separate small dots rather than one concatenated [5R, S] operand:
-        # the concat's stack temporaries blew the 16 MB scoped-VMEM budget
-        # when this kernel sits inside the full program A.
-        return jax.lax.dot(
-            x.reshape(rshape, s_), ones,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    il = rsum(diff)
-    il2 = rsum(diff * diff)
-    sq = rsum(jnp.sqrt(aq))
-    a15 = rsum((aq >= 1.5).astype(jnp.float32))
-    nzf = rsum((rval != 0).astype(jnp.float32))
-    ent = (
-        a15 * K_ABOVE15
-        + sq * K_SQRT
-        + nzf * F32(1.0 + slope * float(K_NZ_SLOPE))
-    )
-    nbits = _ceil_log2_nz(nzf + 1) + 1.0
-    ent = ent + K_NBITS * (
-        _ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits
-    )
-    return ent, il, il2
-
-
-def _estimate_kernel_v2(
-    c8_ref, y8_ref, cv_ref, yv_ref, ch_ref, yh_ref,
-    q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
-    qm8_ref, qm16_ref,
-    o8_ref, ov_ref, oh_ref, *, slope,
-):
-    # Grid (G, 3): one (group, channel) per step — one channel's
-    # temporaries at a time keeps the Mosaic stack inside the 16 MB
-    # scoped-VMEM budget when this kernel is embedded in full program A
-    # (the 3-channel-unrolled form allocated 22.6 MB and failed to
-    # compile there). The Y coefficient blocks ride separately with their
-    # channel index pinned to 1 by the BlockSpec index map.
-    ci = pl.program_id(1)
-    qm8 = qm8_ref[0]  # [1,64] — row ci via index map
-    qm16 = qm16_ref[0]  # [1,128]
-
-    def cf_of(f_ref):
-        f = f_ref[0]
-        return jnp.where(
-            ci == 0, f[0], jnp.where(ci == 2, f[1], jnp.zeros_like(f[0]))
-        )
-
-    ent, il, il2 = _family_dotred(
-        c8_ref[0, 0], y8_ref[0, 0], qm8, q8_ref[0], cf_of(f8_ref),
-        slope, 1024,
-    )
-    o8_ref[0, 0, 0] = ent
-    o8_ref[0, 0, 1] = il
-    o8_ref[0, 0, 2] = il2
-
-    ent, il, il2 = _family_dotred(
-        cv_ref[0, 0], yv_ref[0, 0], qm16, qv_ref[0], cf_of(fv_ref),
-        slope, 512,
-    )
-    ov_ref[0, 0, 0] = ent
-    ov_ref[0, 0, 1] = il
-    ov_ref[0, 0, 2] = il2
-
-    ent, il, il2 = _family_dotred(
-        ch_ref[0, 0], yh_ref[0, 0], qm16, qh_ref[0], cf_of(fh_ref),
-        slope, 512,
-    )
-    oh_ref[0, 0, 0] = ent
-    oh_ref[0, 0, 1] = il
-    oh_ref[0, 0, 2] = il2
-
-
-def estimate_partials_v2(
-    coef8, coef_v, coef_h, q8, qv, qh, fac8, facv, fach, qm8, qm16, slope
-):
-    """Hardware variant of estimate_partials: same contract and inputs; the
-    per-cell reductions run as MXU dots (float order differs from v1, which
-    the strategy heuristic allows — the CPU/interpret pipeline keeps v1 for
-    twin bit-exactness). Outputs [G,3,3,...] partials identical in shape."""
-    g = coef8.shape[0]
-    kern = functools.partial(_estimate_kernel_v2, slope=float(slope))
-    c8 = coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32)
-    cv = coef_v.astype(jnp.float32)
-    ch = coef_h.astype(jnp.float32)
-    o8, ov, oh = pl.pallas_call(
-        kern,
-        grid=(g, 3),
-        in_specs=[
-            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 32, 64), lambda i, j: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 16, 32, 128), lambda i, j: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 32, 16, 128), lambda i, j: (i, 1, 0, 0, 0)),
-            pl.BlockSpec((1, 32, 32), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 16, 32), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 32, 16), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 32), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 16, 32), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 16), lambda i, j: (i, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 64), lambda i, j: (j, 0, 0)),
-            pl.BlockSpec((1, 1, 128), lambda i, j: (j, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, 3, 1024, 1), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 3, 512, 1), lambda i, j: (i, j, 0, 0, 0)),
-            pl.BlockSpec((1, 1, 3, 512, 1), lambda i, j: (i, j, 0, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((g, 3, 3, 1024, 1), jnp.float32),
-            jax.ShapeDtypeStruct((g, 3, 3, 512, 1), jnp.float32),
-            jax.ShapeDtypeStruct((g, 3, 3, 512, 1), jnp.float32),
-        ],
-        interpret=_interpret(),
-    )(
-        c8, c8, cv, cv, ch, ch,
-        q8.astype(jnp.float32),
-        qv.astype(jnp.float32),
-        qh.astype(jnp.float32),
-        fac8.astype(jnp.float32),
-        facv.astype(jnp.float32),
-        fach.astype(jnp.float32),
-        jnp.asarray(qm8, jnp.float32).reshape(3, 1, 64),
-        jnp.asarray(qm16, jnp.float32).reshape(3, 1, 128),
-    )
-    return (
-        o8.reshape(g, 3, 3, 32, 32),
-        ov.reshape(g, 3, 3, 16, 32),
-        oh.reshape(g, 3, 3, 32, 16),
-    )
-
-
 def combine_partials(p, masking, num_blocks):
     """(ent, il, il2) per-channel partials [G,3,3,...] + masking [G,...]
     -> estimate map [G,...] (the tail of pipeline_jax._estimate_entropy)."""
