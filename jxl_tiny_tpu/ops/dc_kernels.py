@@ -104,13 +104,18 @@ def gradient_tokens(plane, valid):
     are meaningful. Boundary rules: left of col 0 is the end of the previous
     row's col 0 chain (p[r-1, 0]); row 0 uses left as top/topleft."""
     p = plane.astype(jnp.int32)
+    # Row/column-0 overrides via concatenate — .at[...].set on a border
+    # lowers to stablehlo.scatter, which serializes on TPU (these five
+    # gradient_tokens calls were 35 of build_dc_layout's 40 scatters and
+    # most of its 3.2 ms in the round-4 trace).
     left = _shift0(p, -1, -1)
-    left = left.at[:, :, 0].set(_shift0(p[:, :, 0], -1, -1))
+    col0 = _shift0(p[:, :, 0], -1, -1)
+    left = jnp.concatenate([col0[:, :, None], left[:, :, 1:]], axis=2)
     top = _shift0(p, -1, -2)
-    top = top.at[:, 0, :].set(left[:, 0, :])
+    top = jnp.concatenate([left[:, :1, :], top[:, 1:, :]], axis=1)
     topleft = _shift0(left, -1, -2)
-    topleft = topleft.at[:, 0, :].set(left[:, 0, :])
-    topleft = topleft.at[:, :, 0].set(left[:, :, 0])
+    topleft = jnp.concatenate([left[:, :1, :], topleft[:, 1:, :]], axis=1)
+    topleft = jnp.concatenate([left[:, :, :1], topleft[:, :, 1:]], axis=2)
     grad = top + left - topleft
     mn = jnp.minimum(top, left)
     mx = jnp.maximum(top, left)
@@ -203,7 +208,10 @@ def build_dc_layout(quant_dc, raw_qf, strategy, is_first, ytox, ytob,
         _, val = gradient_tokens(cm, cvalid)
         parts.append(entries(jnp.full_like(val, cc, jnp.int32), val, cvalid))
     # AC strategy tokens at first cells; ctx from previous first cell's code.
-    codes = jnp.asarray(C.STRATEGY_CODE)[strategy]  # [Gd,PD,PD]
+    # STRATEGY_CODE = [0, 6, 7]; a where-chain avoids the LUT gather.
+    codes = jnp.where(
+        strategy == 0, 0, jnp.where(strategy == 1, 6, 7)
+    )  # [Gd,PD,PD]
     firstv = (is_first & valid).reshape(gd, -1)
     codes_f = codes.reshape(gd, -1)
     prev = _prev_first_scan(firstv, codes_f, 0)

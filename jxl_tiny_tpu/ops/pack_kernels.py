@@ -161,10 +161,15 @@ def merge_rows(rows_tok, rows_cnt, levels=4):
     for _ in range(levels):
         if H.shape[1] % 2:
             break
-        head, tail = H[:, ::2], H[:, 1::2]
-        c0, c1 = Cn[:, ::2], Cn[:, 1::2]
-        s1 = S[:, 1::2]
-        f0, f1 = full[:, ::2], full[:, 1::2]
+        # Even/odd rows via reshape — x[:, ::2] lowers to stablehlo.gather
+        # (slow path on TPU); a pair-axis reshape + unit slice does not.
+        Hr = H.reshape(g, -1, 2, H.shape[-1])
+        head, tail = Hr[:, :, 0], Hr[:, :, 1]
+        Cr = Cn.reshape(g, -1, 2)
+        c0, c1 = Cr[:, :, 0], Cr[:, :, 1]
+        s1 = S.reshape(g, -1, 2)[:, :, 1]
+        fr = full.reshape(g, -1, 2)
+        f0, f1 = fr[:, :, 0], fr[:, :, 1]
         do = f0 & (c1 > 0) & (c0 + c1 <= W)
         sft = tail
         for b in range(7):
@@ -184,7 +189,7 @@ def merge_rows(rows_tok, rows_cnt, levels=4):
             (jnp.where(do[..., None], 0, tail), s1, jnp.where(do, 0, c1))
         )
         Cn = jnp.where(do, c0 + c1, c0)
-        S = S[:, ::2]
+        S = S.reshape(g, -1, 2)[:, :, 0]
         full = f0 & f1 & (do | (c1 == 0))
     tok = jnp.concatenate([H] + [t[0] for t in reversed(tails)], axis=1)
     st = jnp.concatenate([S] + [t[1] for t in reversed(tails)], axis=1)
