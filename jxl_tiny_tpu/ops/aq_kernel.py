@@ -86,7 +86,7 @@ def _sort9(vs):
     return vs
 
 
-def _aq_kernel(xyb_ref, qf_ref, mask_ref, rqf_ref, *, distance, inv_scale):
+def _aq_kernel(xyb_ref, val_ref, gamma_ref, mask_ref, *, distance, inv_scale):
     from .pipeline_jax import (
         _compute_mask, _masking_sqrt, _ratio_of_derivatives,
     )
@@ -169,36 +169,36 @@ def _aq_kernel(xyb_ref, qf_ref, mask_ref, rqf_ref, *, distance, inv_scale):
             + red_cov * F32(strength * 5.992297772961519 / ratio)
             + blue_cov * F32(strength / ratio)
         )
-    # GammaModulation.
+    # GammaModulation's log2 and the final exp2 are NOT computed here:
+    # Mosaic's exp2/log2 polynomials differ from XLA's by up to 58/2 ulp
+    # (measured, tools/probe_op_exactness.py round 4), which flipped
+    # knife-edge raw_qf cells vs the CPU-generated byte goldens. Every op
+    # left in this kernel (arith, sqrt, div, FMA) is bit-exact across the
+    # two compilers, so the [G,32,32] transcendental tail runs in XLA
+    # (adaptive_quant_field epilogue) and hardware output is again
+    # bit-equal to the jnp twin.
     r = (y_pl + F32(0.16)) - x_pl
     gch = (y_pl + F32(0.16)) + x_pl
     ratio_avg = 0.5 * (
         _ratio_of_derivatives(r, True) + _ratio_of_derivatives(gch, True)
     )
-    val = val + F32(-0.15526878023684174 * 0.693147180559945) * jnp.log2(
-        block_sums(ratio_avg) * F32(1.0 / 64)
-    )
-
-    dampen = 1.0 if distance < 7.0 else max(0.0, 1.0 - (distance - 7.0) / 7.0)
-    mul = F32(float(scale) * dampen)
-    add = F32((1.0 - dampen) * 0.5 * float(scale))
-    qf = jnp.exp2(val * F32(1.442695041)) * mul + add
-    raw_qf = jnp.clip(
-        (qf * F32(inv_scale) + F32(0.5)).astype(jnp.int32), 1, 255
-    )
-    qf_ref[0] = qf
+    val_ref[0] = val
+    gamma_ref[0] = block_sums(ratio_avg)
     mask_ref[0] = masking
-    rqf_ref[0] = raw_qf
 
 
 def adaptive_quant_field_kernel(xyb, distance, inv_scale):
     """[G,3,256,256] XYB -> (qf, masking [G,32,32] f32, raw_qf [G,32,32]
-    i32) — the Pallas form of pipeline_jax.adaptive_quant_field."""
+    i32) — the Pallas form of pipeline_jax.adaptive_quant_field. The
+    kernel emits (val, gamma_block_sums, masking); the exp2/log2 tail runs
+    here in XLA on the tiny [G,32,32] maps so the hardware result is
+    bit-equal to the jnp twin (see the in-kernel note; Mosaic's exp2/log2
+    round differently)."""
     g = xyb.shape[0]
     kern = functools.partial(
         _aq_kernel, distance=float(distance), inv_scale=float(inv_scale)
     )
-    return pl.pallas_call(
+    val, gamma_bs, masking = pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
@@ -212,7 +212,19 @@ def adaptive_quant_field_kernel(xyb, distance, inv_scale):
         out_shape=[
             jax.ShapeDtypeStruct((g, 32, 32), jnp.float32),
             jax.ShapeDtypeStruct((g, 32, 32), jnp.float32),
-            jax.ShapeDtypeStruct((g, 32, 32), jnp.int32),
+            jax.ShapeDtypeStruct((g, 32, 32), jnp.float32),
         ],
         interpret=_interpret(),
     )(xyb.astype(jnp.float32))
+    scale = F32(0.8294 / distance)
+    val = val + F32(-0.15526878023684174 * 0.693147180559945) * jnp.log2(
+        gamma_bs * F32(1.0 / 64)
+    )
+    dampen = 1.0 if distance < 7.0 else max(0.0, 1.0 - (distance - 7.0) / 7.0)
+    mul = F32(float(scale) * dampen)
+    add = F32((1.0 - dampen) * 0.5 * float(scale))
+    qf = jnp.exp2(val * F32(1.442695041)) * mul + add
+    raw_qf = jnp.clip(
+        (qf * F32(inv_scale) + F32(0.5)).astype(jnp.int32), 1, 255
+    )
+    return qf, masking, raw_qf

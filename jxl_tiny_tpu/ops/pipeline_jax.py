@@ -357,7 +357,11 @@ def compute_cmap(coef8, valid_blocks):
 
 
 def _ceil_log2_nonzero(v):
-    return jnp.ceil(jnp.log2(jnp.maximum(v, 1).astype(F32))).astype(jnp.int32)
+    # Exact integer form (f32 exponent bitcast) — see
+    # strategy_kernel._ceil_log2_nz for why jnp.log2 is avoided.
+    vi = jnp.maximum(v, 1).astype(jnp.int32)
+    n = (jax.lax.bitcast_convert_type(vi.astype(F32), jnp.int32) >> 23) - 127
+    return n + (vi != (1 << n)).astype(jnp.int32)
 
 
 def _estimate_entropy(coef, qm, q, masking, fac_x, fac_b, distance):

@@ -43,7 +43,16 @@ K_NBITS = F32(7.565053364251793)
 
 
 def _ceil_log2_nz(v):
-    return jnp.ceil(jnp.log2(jnp.maximum(v, 1).astype(jnp.float32)))
+    """Exact integer ceil(log2(max(v,1))) as f32 — arithmetic only.
+
+    jnp.log2 is 1-2 ulp off in Mosaic vs XLA (tools/probe_op_exactness.py),
+    which can flip the ceil at exact powers of two and silently change
+    strategy decisions between hardware and the CPU goldens. The f32
+    exponent bitcast is exact for ints < 2^24 on every backend."""
+    vi = jnp.maximum(v, 1).astype(jnp.int32)
+    vf = vi.astype(jnp.float32)
+    n = (jax.lax.bitcast_convert_type(vf, jnp.int32) >> 23) - 127
+    return (n + (vi != (1 << n)).astype(jnp.int32)).astype(jnp.float32)
 
 
 def _family(coef_c, coef_y, qm, q, cf, slope):

@@ -64,7 +64,9 @@ def main():
     one.block_until_ready()
     for _ in range(8):
         t = time.perf_counter()
-        np.asarray(one)
+        # Fresh device op per probe — np.asarray(one) would hit jax.Array's
+        # cached host copy after the first call and read ~0 ms.
+        np.asarray(jnp.ravel(one)[:1])
         rt_times.append(time.perf_counter() - t)
     rt = min(rt_times)
 
