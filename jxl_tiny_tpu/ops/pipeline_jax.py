@@ -645,23 +645,18 @@ def encode_groups_stream(
     valid,
     cap,
 ):
-    """Flagship tokenization: kernel F + context middle + tokenize +
-    compact. Two bit-identical routes (tested against each other):
+    """Flagship tokenization: kernel F + context middle + tokenize_cells
+    kernel -> merge_rows + compact (pack_kernels.compact_stream).
 
-    - separate (default): tokenize_cells kernel -> merge_rows + compact
-      (pack_kernels.compact_stream). Measured FASTER on the v5e (16.4 vs
-      21.0 ms/8MP incl. kernel F): the fused kernel's chunk-local plan
-      recompute and in-kernel scalar placement cost more than the fat
-      token array's extra HBM round trip that it avoids.
-    - fused (JXL_TOKENIZE_FUSED=1): one kernel per group
-      (tokenize_kernel.tokenize_compact), tokens living in VMEM from
-      birth to placement — kept as the low-HBM-traffic variant.
+    A fused single-kernel route (tokenize_compact) existed through round 3
+    behind JXL_TOKENIZE_FUSED; it lost the hardware A/B at every tested
+    scale (G=16/135/512, tools/artifacts/ab_fused_r04.json) and was
+    deleted in round 4 — see tokenize_kernel's module docstring.
 
     Returns (stream [G, cap+128] u32, totals [G] i32, quant_dc
     [G,3,32,32] i32)."""
-    import os
-
-    from .tokenize_kernel import pack_row_meta, tokenize_compact
+    from .pack_kernels import compact_stream
+    from .tokenize_kernel import tokenize_cells
 
     g = coef8.shape[0]
     first = is_first & valid
@@ -678,41 +673,13 @@ def encode_groups_stream(
         return a[:, chan].transpose(0, 2, 3, 1)
 
     ordered_em = m["ordered"]  # already emission-ordered (kernel F)
-    if not os.environ.get("JXL_TOKENIZE_FUSED"):
-        from .pack_kernels import compact_stream
-        from .tokenize_kernel import tokenize_cells
-
-        tokens_em, count_em = tokenize_cells(
-            ordered_em, em(covered_b), em(m["nzeros_total"]),
-            em(m["block_ctx"]), em(m["nzero_ctx"]), em(m["prev_init"]),
-            em(first_b),
-        )
-        stream, totals = compact_stream(
-            tokens_em.reshape(g, -1, 128), count_em.reshape(g, -1), cap
-        )
-        return stream, totals, m["quant_dc"]
-    meta_cell = pack_row_meta(
-        covered_b,
-        m["nzeros_total"],
-        m["block_ctx"],
-        m["nzero_ctx"],
-        m["prev_init"],
-        first_b,
+    tokens_em, count_em = tokenize_cells(
+        ordered_em, em(covered_b), em(m["nzeros_total"]),
+        em(m["block_ctx"]), em(m["nzero_ctx"]), em(m["prev_init"]),
+        em(first_b),
     )
-    # Token count per cell is known before tokenization: 1 nzeros token +
-    # one token per zig-zag position up to the last nonzero (slot of
-    # position k is k - covered + 1).
-    cnt_cell = jnp.where(
-        first_b,
-        jnp.where(
-            m["nzeros_total"] > 0, m["lastnz"] - covered_b + 2, 1
-        ),
-        0,
-    )
-    meta_em = em(meta_cell).reshape(g, -1)
-    cnt_em = em(cnt_cell).reshape(g, -1)
-    stream, totals = tokenize_compact(
-        ordered_em.reshape(g, -1, 128), meta_em, cnt_em, cap
+    stream, totals = compact_stream(
+        tokens_em.reshape(g, -1, 128), count_em.reshape(g, -1), cap
     )
     return stream, totals, m["quant_dc"]
 

@@ -71,56 +71,3 @@ def test_tokenize_cells_matches_jnp_tail():
     tok_j, cnt_j = _jnp_tail(*args)
     assert np.array_equal(np.asarray(cnt_k), np.asarray(cnt_j))
     assert np.array_equal(np.asarray(tok_k), np.asarray(tok_j))
-
-
-def test_tokenize_compact_matches_separate_stages():
-    """The fused tokenize+merge+compact kernel must produce the exact
-    stream of tokenize_cells -> compact_stream."""
-    from jxl_tiny_tpu.ops.pack_kernels import compact_stream
-    from jxl_tiny_tpu.ops.tokenize_kernel import (
-        pack_row_meta, tokenize_compact,
-    )
-
-    rng = np.random.RandomState(7)
-    g, rows = 3, 3072
-    n = g * rows
-    ordered = rng.randint(-40, 40, size=(n, 128)).astype(np.int32)
-    ordered[rng.rand(n, 128) < 0.9] = 0
-    ordered[rng.rand(n) < 0.4] = 0  # many empty rows, like real content
-    covered = rng.randint(1, 3, size=(n,)).astype(np.int32)
-    block_ctx = rng.randint(0, 4, size=(n,)).astype(np.int32)
-    nzero_ctx = rng.randint(0, 16, size=(n,)).astype(np.int32)
-    first = rng.rand(n) < 0.7
-    k = np.arange(128)
-    in_range = (k >= covered[:, None]) & (k < covered[:, None] * 64)
-    nzm = (ordered != 0) & in_range
-    nztot = nzm.sum(-1).astype(np.int32)
-    lastnz = np.max(np.where(nzm, k, 0), axis=-1).astype(np.int32)
-    prev_init = (nztot <= (covered * 64) >> 4).astype(np.int32)
-
-    args = [
-        jnp.asarray(a)
-        for a in (ordered, covered, nztot, block_ctx, nzero_ctx, prev_init, first)
-    ]
-    tok_ref, cnt_ref = tokenize_cells(*args)
-    cap = 16384
-    s_ref, t_ref = compact_stream(
-        jnp.asarray(tok_ref).reshape(g, rows, 128),
-        jnp.asarray(cnt_ref).reshape(g, rows),
-        cap,
-    )
-
-    meta = pack_row_meta(
-        *[jnp.asarray(a) for a in (covered, nztot, block_ctx, nzero_ctx,
-                                   prev_init)], jnp.asarray(first)
-    )
-    cnt = np.where(first, np.where(nztot > 0, lastnz - covered + 2, 1), 0)
-    assert np.array_equal(cnt, np.asarray(cnt_ref))  # count formula identity
-    s_f, t_f = tokenize_compact(
-        jnp.asarray(ordered).reshape(g, rows, 128),
-        jnp.asarray(meta).reshape(g, rows),
-        jnp.asarray(cnt.astype(np.int32)).reshape(g, rows),
-        cap,
-    )
-    assert np.array_equal(np.asarray(t_f), np.asarray(t_ref))
-    assert np.array_equal(np.asarray(s_f), np.asarray(s_ref))

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""Fused-vs-separate tokenization across group counts (VERDICT r3 task 4).
+"""HISTORICAL (round 4): fused-vs-separate tokenization across group counts.
+
+The fused kernel lost at every tested scale and was DELETED (see
+tools/artifacts/ab_fused_r04.json for the deciding data); this script no
+longer runs at HEAD and is kept as the record of the method.
 
 Round 3's flagship A/B (G=135, tools/ab_fused_compact.py) measured the
 separate path faster (16.4 vs 21.0 ms/8MP). This sweep decides the fused
