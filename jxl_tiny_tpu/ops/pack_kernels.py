@@ -134,7 +134,7 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     jax.lax.fori_loop(0, nb, body, 0)
 
 
-def merge_rows(rows_tok, rows_cnt, levels=4):
+def merge_rows(rows_tok, rows_cnt, levels=6):
     """Log-merge preconditioner: pairwise-merge adjacent emission rows whose
     combined token count fits in W, halving (per level) the rows the compact
     kernel's scalar loop must visit. Vectorized jnp: the variable right-shift
@@ -197,7 +197,7 @@ def merge_rows(rows_tok, rows_cnt, levels=4):
     return tok, st, ct, totals
 
 
-def compact_stream(rows_tok, rows_cnt, cap, merge_levels=4):
+def compact_stream(rows_tok, rows_cnt, cap, merge_levels=6):
     """rows_tok: [G, ROWS, 128] u32; rows_cnt: [G, ROWS] i32.
 
     Returns (stream [G, cap + 128] u32, totals [G] i32). Tokens of row r land
