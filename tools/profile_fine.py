@@ -230,7 +230,7 @@ def main():
     from jxl_tiny_tpu.ops.pack_kernels import _interpret
 
     def s_merge(st):
-        tok, starts, cnt, totals = merge_rows(st["rows_tok"], st["rows_cnt"], 4)
+        tok, starts, cnt, totals = merge_rows(st["rows_tok"], st["rows_cnt"], 6)
         return (tok, starts, cnt, totals), dict(
             tok=tok, starts=starts, cnt=cnt, totals=totals
         )
@@ -274,7 +274,7 @@ def main():
     # row-statistics the merge/placement cost depends on
     cnt_np = np.asarray(rows_cnt)
     tok, starts, cnt_m, totals = jax.jit(
-        lambda a, b: merge_rows(a, b, 4)
+        lambda a, b: merge_rows(a, b, 6)
     )(rows_tok, rows_cnt)
     nb_all = np.asarray((np.asarray(cnt_m) > 0).sum(axis=1))
     results["row_stats"] = dict(
