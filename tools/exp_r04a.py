@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""Round-4 optimization experiments, batch A (run on hardware):
+"""HISTORICAL (round 4) — does not run at HEAD: the Pallas hist kernel it
+A/Bs was deleted after losing the comparison, and its timing loop turned
+out to sync one tunnel RT per output (see the prefix-delta tools for the
+valid methodology). Kept as the record of the experiment.
+
+Round-4 optimization experiments, batch A (run on hardware):
 
   1. hist_base64: new Pallas kernel vs jnp einsum — exact match + time
   2. compact_stream order: argsort vs cumsum+scatter partition — time
