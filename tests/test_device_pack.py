@@ -165,7 +165,7 @@ def test_bitpack_groups_var_matches():
 
 
 def test_bitpack_groups_words_matches():
-    """The word-parallel packer (segmented OR-scan + one-hot left-pack +
+    """The word-parallel packer (segmented OR-scan + log-shift left-pack +
     compact placement) must be bit-identical to the scalar reference on
     AC-shaped streams: a contiguous valid prefix of 1..28-bit tokens
     (zero-width tokens occur only in the tail padding), including empty,
