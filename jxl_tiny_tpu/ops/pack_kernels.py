@@ -726,10 +726,11 @@ def bitpack_groups_words(data, nbits, pos, ow, prefix_valid=True):
       word w = v at the last token of w's segment
 
     The per-word values are then left-packed within each 128-token row by
-    an exact one-hot matmul (u32 split into two f32-exact 16-bit halves)
-    and placed into the dense per-group word stream by compact_stream —
-    the same merge+place machinery as the token stream, at ~1/6 the
-    element count (one word per ~6 tokens)."""
+    log-shift stable compaction (each survivor moves left by its count of
+    preceding holes, decomposed over the bits of that distance — 7
+    select/shift passes) and placed into the dense per-group word stream
+    by compact_stream — the same merge+place machinery as the token
+    stream, at ~1/6 the element count (one word per ~6 tokens)."""
     g, cap = data.shape
     assert cap % 128 == 0
     nbits = nbits.astype(jnp.int32)
@@ -811,8 +812,10 @@ def bitpack_groups_words(data, nbits, pos, ow, prefix_valid=True):
         dist = jnp.where(take, inc_d - s, jnp.where(leave, 0, dist))
     words_rows = val
     counts = er.sum(axis=-1).astype(jnp.int32)
-    # Pad the row axis to a multiple of 16 so the merge preconditioner
-    # gets its full 4 levels (zero-count rows are no-ops).
+    # Pad the row axis to a multiple of 16 (zero-count rows are no-ops).
+    # This caps merge_rows at 4 of its default 6 levels for this caller —
+    # intentional: word rows carry ~21 words each, so pair-merges stop
+    # fitting W=128 by level 3-4 and deeper levels would merge nothing.
     padr = (-rows) % 16
     if padr:
         words_rows = jnp.concatenate(

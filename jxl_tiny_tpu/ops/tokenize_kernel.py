@@ -153,8 +153,3 @@ def tokenize_cells(
     )
     count = jnp.where(first, 1 + last_valid, 0)
     return tokens, count
-
-
-# ---------------------------------------------------------------------------
-# Fused tokenize + merge + compact (T2)
-# ---------------------------------------------------------------------------

@@ -3,7 +3,7 @@
 
 Slope-times (K=1 vs 3 repeats inside one jit) the flagship stages that
 bench_analysis.py does not cover: the Pallas quantize front-end, both
-tokenize routes (fused tokenize_compact vs the separate-stage path),
+tokenize route (kernel F + tokenize_cells + compact_stream),
 histograms, DC layout, and the AC/DC section packers. Run during a
 hardware window."""
 import os
@@ -126,15 +126,18 @@ def main():
 
     slope("quantize_cells (kernel F)", mk(quant_op), coef8, coef_v, coef_h)
 
-    # --- full fused route: middle + tokenize_compact ---
-    def fused_op(c, c8, cv, ch):
+    # --- separate route end-to-end: middle + tokenize_cells + compact ---
+    # (the fused tokenize_compact kernel and its JXL_TOKENIZE_FUSED switch
+    # were deleted in round 4 after losing the hardware A/B; this times the
+    # one remaining route, encode_groups_stream, as a whole.)
+    def stream_op(c, c8, cv, ch):
         s, t, qdc = PJ.encode_groups_stream(
             c8 + c, cv, ch, strategy, is_first, raw_qf, ytox, ytob,
             F["scale"], F["scale_dc"], F["x_qm_mul"], valid, cap,
         )
         return c + s[0, 0].astype(jnp.float32)
 
-    slope("encode_groups_stream (fused)", mk(fused_op), coef8, coef_v,
+    slope("encode_groups_stream (whole route)", mk(stream_op), coef8, coef_v,
           coef_h)
 
     # --- separate route: middle + tokenize_cells + rows + compact ---
