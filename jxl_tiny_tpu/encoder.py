@@ -553,12 +553,38 @@ class DeviceEncodeJob:
                 self._dispatch_b()
             return
 
-        totals = self._fetch(self.out_a["totals"])
+        # totals + histograms in ONE device->host transfer (the tunneled
+        # link costs ~25 ms latency per transfer and is half-duplex, so
+        # every extra round trip steals time from the next image's upload
+        # — VERDICT r4 task 4). The tiny device-side concat is compiled
+        # once per shape. Mesh/multihost fetch hooks keep split fetches
+        # (collective gathers need plain sharded arrays).
+        def _sync_totals_hists():
+            if self.mesh is None and self._fetch is np.asarray:
+                import jax.numpy as jnp
+
+                t = self.out_a["totals"]
+                h = self.out_a["hists"]
+                combo = self._fetch(
+                    jnp.concatenate(
+                        [t.astype(jnp.uint32).ravel(), h.ravel()]
+                    )
+                )
+                return (
+                    combo[: t.shape[0]].astype(np.int64),
+                    combo[t.shape[0] :].reshape(h.shape),
+                )
+            return (
+                self._fetch(self.out_a["totals"]),
+                self._fetch(self.out_a["hists"]),
+            )
+
+        totals, hists = _sync_totals_hists()
         if int(totals.max(initial=0)) > self.cap:
             self.cap = _next_bucket(_CAP_BUCKETS, int(totals.max()))
             self.out_a = self._run_a(self.cap)
+            totals, hists = _sync_totals_hists()
         self.meta = None  # host maps fetched only by the fallback path
-        hists = self._fetch(self.out_a["hists"])
         self.full_code, d_table = build_ac_device_code(
             hists[0], ac_base64_map()
         )
@@ -667,10 +693,8 @@ class DeviceEncodeJob:
         nblk = (bits + (32 * 128 - 1)) // (32 * 128)
         return int(offs[-1] + nblk[-1] * 128) if len(offs) else 0
 
-    def _download_writers(self, words_dev, bits, offs, wcap, n, per_shard):
-        """Slice the compacted section buffer(s) into per-section
-        BitWriters. Mesh mode: words_dev is [n_shards, wcap] and offs are
-        shard-local; section k lives in shard k // per_shard."""
+    def _dl_words(self, bits, offs, wcap, per_shard):
+        """Download word count (65536-quantized) for a compacted buffer."""
         used = max(
             self._used_words(
                 bits[s * per_shard : (s + 1) * per_shard],
@@ -679,11 +703,23 @@ class DeviceEncodeJob:
             for s in range(self._n_shards)
         )
         assert used <= wcap, "caller must fall back to uncompacted download"
-        dl = min(wcap, -(-max(used, 1) // 65536) * 65536)
-        if words_dev.ndim == 1:
-            words = self._fetch(words_dev[:dl])[None]
+        return min(wcap, -(-max(used, 1) // 65536) * 65536)
+
+    def _download_writers(
+        self, words_dev, bits, offs, wcap, n, per_shard, words_np=None
+    ):
+        """Slice the compacted section buffer(s) into per-section
+        BitWriters. Mesh mode: words_dev is [n_shards, wcap] and offs are
+        shard-local; section k lives in shard k // per_shard. words_np:
+        pre-fetched host words (the combined-transfer fast path)."""
+        if words_np is not None:
+            words = words_np
         else:
-            words = self._fetch(words_dev[:, :dl])
+            dl = self._dl_words(bits, offs, wcap, per_shard)
+            if words_dev.ndim == 1:
+                words = self._fetch(words_dev[:dl])[None]
+            else:
+                words = self._fetch(words_dev[:, :dl])
         return [
             _writer_from_bits(
                 words[k // per_shard][
@@ -768,9 +804,31 @@ class DeviceEncodeJob:
                 self._dispatch_b()
                 continue
             break
+        ac_np = dc_np = None
+        if (
+            self._compact_ac
+            and self._compact_dc
+            and self.mesh is None
+            and self._fetch is np.asarray
+        ):
+            # Both compacted section buffers in ONE device->host transfer
+            # (saves a ~25 ms link round trip per image on the tunneled
+            # link; the device-side concat is trivial).
+            import jax.numpy as jnp
+
+            dl_ac = self._dl_words(ac_bits, ac_offs, self.wcap, gps)
+            dl_dc = self._dl_words(dc_bits, dc_offs, self._wcap_dc, gdps)
+            combo = self._fetch(
+                jnp.concatenate(
+                    [self.out_b["words"][:dl_ac], self.out_dc["words"][:dl_dc]]
+                )
+            )
+            ac_np = combo[:dl_ac][None]
+            dc_np = combo[dl_ac:][None]
         if self._compact_ac:
             self._ac_list = self._download_writers(
-                self.out_b["words"], ac_bits, ac_offs, self.wcap, g, gps
+                self.out_b["words"], ac_bits, ac_offs, self.wcap, g, gps,
+                words_np=ac_np,
             )
         else:
             self._ac_list = self._download_writers_rows(
@@ -778,7 +836,8 @@ class DeviceEncodeJob:
             )
         if self._compact_dc:
             self._dc_list = self._download_writers(
-                self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd, gdps
+                self.out_dc["words"], dc_bits, dc_offs, self._wcap_dc, gd, gdps,
+                words_np=dc_np,
             )
         else:
             self._dc_list = self._download_writers_rows(
@@ -870,6 +929,7 @@ class _BatchFetcher:
         self._fetch = np.asarray if fetch is None else fetch
 
     _used_words = staticmethod(DeviceEncodeJob._used_words)
+    _dl_words = DeviceEncodeJob._dl_words
     _download_writers = DeviceEncodeJob._download_writers
     _download_writers_rows = DeviceEncodeJob._download_writers_rows
 
@@ -1116,16 +1176,18 @@ def encode_batch_device(
 
 
 def encode_images_device(
-    imgs, distance=1.0, upload_dtype=np.float16, depth=2, config=None,
+    imgs, distance=1.0, upload_dtype=np.float16, depth=3, config=None,
     retries=1,
 ):
     """Pipelined batch encode (generator of .jxl byte strings, input order).
 
     While image i's sections download and its codestream is assembled on the
-    host, image i+1's pixels stream up and run program A — the TPU-native
-    replacement for the reference's per-image ThreadPool fan-out
+    host, images i+1..i+depth-1's pixels stream up and run program A — the
+    TPU-native replacement for the reference's per-image ThreadPool fan-out
     (base/data_parallel.h). Sustained throughput approaches
-    max(link, device, host) instead of their sum.
+    max(link, device, host) instead of their sum. Depth 3 keeps the upload
+    queue non-empty across image i's two download syncs on half-duplex
+    links (measured overlap efficiency lever, tools/e2e_model.py).
 
     retries: per-image retry count (the batch-driver failure-recovery level;
     encoding is short-lived so transient backend errors are retried from the

@@ -227,4 +227,8 @@ def adaptive_quant_field_kernel(xyb, distance, inv_scale):
     raw_qf = jnp.clip(
         (qf * F32(inv_scale) + F32(0.5)).astype(jnp.int32), 1, 255
     )
-    return qf, masking, raw_qf
+    # Barrier: pin this XLA tail's accumulation as a standalone segment so
+    # its float results cannot vary with the surrounding program's batch
+    # shape (XLA fuses it into shape-dependent consumers otherwise; see
+    # the stage-seam note in pipeline_jax.to_xyb).
+    return jax.lax.optimization_barrier((qf, masking, raw_qf))

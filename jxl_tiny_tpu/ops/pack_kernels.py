@@ -134,6 +134,38 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
     jax.lax.fori_loop(0, nb, body, 0)
 
 
+def left_pack(val, keep):
+    """Stable left-pack along the last axis: survivors (keep) move left by
+    their count of preceding holes; holes are overwritten, the tail is
+    zero-filled. Pure log-shift compaction — ceil(log2(n)) select/shift
+    passes, no gather/scatter/argsort (the r04 lesson: a [G, n] scatter
+    costs milliseconds at n ~ 3072; these passes are microseconds).
+
+    Each survivor's move distance dist = index - (rank - 1) is
+    non-decreasing along the axis, so shifting by one bit of dist at a
+    time never collides (standard vector-compaction argument; same
+    machinery as the word left-pack in bitpack_groups_words)."""
+    n = val.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=-1)
+    dist = jnp.where(keep, idx - (rank - 1), 0).astype(jnp.int32)
+    val = jnp.where(keep, val, jnp.zeros_like(val))
+    s = 1
+    while s < n:
+        inc_v = jnp.concatenate(
+            [val[..., s:], jnp.zeros_like(val[..., :s])], axis=-1
+        )
+        inc_d = jnp.concatenate(
+            [dist[..., s:], jnp.zeros_like(dist[..., :s])], axis=-1
+        )
+        take = (inc_d & s) > 0
+        leave = (dist & s) > 0
+        val = jnp.where(take, inc_v, jnp.where(leave, jnp.zeros_like(val), val))
+        dist = jnp.where(take, inc_d - s, jnp.where(leave, 0, dist))
+        s *= 2
+    return val
+
+
 def merge_rows(rows_tok, rows_cnt, levels=6):
     """Log-merge preconditioner: pairwise-merge adjacent emission rows whose
     combined token count fits in W, halving (per level) the rows the compact
@@ -222,20 +254,15 @@ def compact_stream(rows_tok, rows_cnt, cap, merge_levels=6):
         starts = ends - cnt
         totals = ends[:, -1]
     nrows = rows_tok.shape[1]
-    # Stable partition (non-empty rows first, original order) via cumsum +
-    # unique-index scatter — measured ~30% cheaper than the stable argsort
-    # it replaces (2.7 vs 3.9 ms isolated on [135, 3072], same output).
+    # Stable partition (non-empty row indices first, original order) via
+    # log-shift left_pack on the [G, nrows] index map — replaces a
+    # unique-index scatter (which itself replaced a stable argsort;
+    # measured 2.7 ms isolated on [135, 3072]) with ~log2(nrows) cheap
+    # vector passes over a 1.6 MB map. The kernel only reads the first
+    # nb entries, so the zero-filled tail is never consumed.
     ne = cnt > 0
-    nb_s = ne.sum(axis=1)
-    pos_ne = jnp.cumsum(ne, axis=1) - 1
-    pos_e = nb_s[:, None] + jnp.cumsum(~ne, axis=1) - 1
-    dest = jnp.where(ne, pos_ne, pos_e).astype(jnp.int32)
     r_idx = jnp.broadcast_to(jnp.arange(nrows, dtype=jnp.int32), cnt.shape)
-    order = (
-        jnp.zeros(cnt.shape, jnp.int32)
-        .at[jnp.arange(cnt.shape[0])[:, None], dest]
-        .set(r_idx, unique_indices=True, mode="promise_in_bounds")
-    )
+    order = left_pack(r_idx, ne)
     nb = jnp.broadcast_to((cnt > 0).sum(axis=1)[:, None], (g, nrows)).astype(
         jnp.int32
     )
@@ -787,30 +814,12 @@ def bitpack_groups_words(data, nbits, pos, ow, prefix_valid=True):
     rows = cap // 128
     er = e.reshape(g, rows, 128)
     vr = jnp.where(e, v, jnp.uint32(0)).reshape(g, rows, 128)
-    rank = jnp.cumsum(er.astype(jnp.int32), axis=-1)
-    # Left-pack the emitted words within each 128-lane row by log-shift
-    # stable compaction: element t moves left by dist[t] = lane - (rank-1)
-    # (its count of preceding holes), decomposed over bits of dist; holes
-    # are pinned at dist 0 with value 0 and get overwritten. Monotone
-    # dist => no two survivors ever collide (standard vector-compaction
-    # argument). Replaces a [G, rows, 128, 128] one-hot matmul whose
-    # operand alone was ~1.1 GB of HBM traffic per byte plane on the 8MP
-    # image (~5 of program B's ~7 ms, round-4 profile_b trace).
-    lane = jnp.arange(128, dtype=jnp.int32)
-    dist = jnp.where(er, lane - (rank - 1), 0).astype(jnp.int32)
-    val = vr
-    for s in (1, 2, 4, 8, 16, 32, 64):
-        inc_v = jnp.concatenate(
-            [val[..., s:], jnp.zeros_like(val[..., :s])], axis=-1
-        )
-        inc_d = jnp.concatenate(
-            [dist[..., s:], jnp.zeros_like(dist[..., :s])], axis=-1
-        )
-        take = (inc_d & s) > 0
-        leave = (dist & s) > 0
-        val = jnp.where(take, inc_v, jnp.where(leave, 0, val))
-        dist = jnp.where(take, inc_d - s, jnp.where(leave, 0, dist))
-    words_rows = val
+    # Left-pack the emitted words within each 128-lane row (log-shift
+    # stable compaction, see left_pack). Replaces a [G, rows, 128, 128]
+    # one-hot matmul whose operand alone was ~1.1 GB of HBM traffic per
+    # byte plane on the 8MP image (~5 of program B's ~7 ms, round-4
+    # profile_b trace).
+    words_rows = left_pack(vr, er)
     counts = er.sum(axis=-1).astype(jnp.int32)
     # Pad the row axis to a multiple of 16 (zero-count rows are no-ops).
     # This caps merge_rows at 4 of its default 6 levels for this caller —

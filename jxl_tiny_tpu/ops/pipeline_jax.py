@@ -164,9 +164,19 @@ def to_xyb(groups):
         for i in range(3)
     ]
     tm = [jnp.cbrt(jnp.maximum(v, 0.0)) + C.NEG_BIAS_CBRT for v in mixed]
-    return jnp.stack(
+    out = jnp.stack(
         [0.5 * (tm[0] - tm[1]), 0.5 * (tm[0] + tm[1]), tm[2]], axis=1
     )
+    # Stage-seam barrier. Shard-count byte invariance demands that every
+    # float feeding a quantize/strategy decision be bitwise identical for
+    # ANY group-batch shape (G=1 per mesh shard vs G=135 single-chip).
+    # Isolated, each stage's codegen is shape-stable (probed); fused into
+    # different consumers XLA may contract FMAs differently per shape —
+    # measured 1-ulp xyb drift between a G=6 and G=1 compilation of the
+    # full pipeline, enough to flip one knife-edge coefficient on f16
+    # input. The barrier pins the stage as its standalone form; the array
+    # materializes here anyway (it feeds a Pallas kernel input).
+    return jax.lax.optimization_barrier(out)
 
 
 def _ratio_of_derivatives(v, invert):
@@ -401,10 +411,22 @@ def compute_ac_strategy(
     qm8 = jnp.asarray(C.QUANT_DCT8.reshape(3, 64))
     qm16 = jnp.asarray(C.QUANT_DCT16.reshape(3, 128))
 
-    blk_v = xyb.reshape(g, 3, 16, 16, 32, 8).transpose(0, 1, 2, 4, 3, 5)
-    coef_v = dct2d(blk_v, 16, 8).reshape(g, 3, 16, 32, 128)
-    blk_h = xyb.reshape(g, 3, 32, 8, 16, 16).transpose(0, 1, 2, 4, 3, 5)
-    coef_h = dct2d(blk_h, 8, 16).reshape(g, 3, 32, 16, 128)
+    # DCT16-family coefficient sets by recombination of the already-computed
+    # 8x8 DCTs (dct_jax.dct16x8_from_8): one K=8 constant contraction per
+    # half instead of fresh 16-point transforms of the pixel data — the
+    # pixel re-reads, the blk_v/blk_h transposes, and the 16-point column
+    # passes all disappear (VERDICT r4 task 1; reference recombines sizes
+    # the same way via DCTResampleScales, dct_scales.h:42-74).
+    from .dct_jax import dct16x8_from_8, dct8x16_from_8
+
+    cpair = coef8.reshape(g, 3, 16, 2, 32, 8, 8)
+    coef_v = dct16x8_from_8(cpair[:, :, :, 0], cpair[:, :, :, 1]).reshape(
+        g, 3, 16, 32, 128
+    )
+    hpair = coef8.reshape(g, 3, 32, 16, 2, 8, 8)
+    coef_h = dct8x16_from_8(hpair[:, :, :, :, 0], hpair[:, :, :, :, 1]).reshape(
+        g, 3, 32, 16, 128
+    )
 
     fac_x = (
         jnp.repeat(jnp.repeat(ytox.astype(F32), 8, 1), 8, 2) * C.INV_COLOR_FACTOR
@@ -439,6 +461,7 @@ def compute_ac_strategy(
     p8, pv, ph = estimate_partials(
         coef8.reshape(g, 3, 32, 32, 64), coef_v, coef_h,
         qf, q_v, q_h,
+        masking, m_v, m_h,
         jnp.stack([fac_x, fac_b], axis=1),
         jnp.stack(
             [fac_x.reshape(g, 16, 2, 32)[:, :, 0],

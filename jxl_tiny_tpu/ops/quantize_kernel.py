@@ -61,7 +61,14 @@ def _quant_kernel(
     cv = jnp.concatenate(
         [cvn[:, k // 2 : k // 2 + 1] for k in range(8)], axis=1
     )  # [3,8,32,128]
-    chh = chh_ref[0]  # [3,8,32,128] (cols pre-expanded by the caller)
+    # [3,8,16,128] natural h-cols -> cell cols x2, in-register (the
+    # caller used to jnp.repeat this to [G,3,32,32,128] in HBM — a 212 MB
+    # materialization on the 8MP image for data the kernel can duplicate
+    # from the natural block for free).
+    chn = chh_ref[0]
+    chh = jnp.concatenate(
+        [chn[:, :, j // 2 : j // 2 + 1] for j in range(32)], axis=2
+    )  # [3,8,32,128]
 
     def coefs_ch(ci):
         a8 = jnp.concatenate(
@@ -189,7 +196,7 @@ def quantize_cells(
         in_specs=[
             pl.BlockSpec((1, 3, 8, 32, 64), lambda i, y: (i, 0, y, 0, 0)),
             pl.BlockSpec((1, 3, 4, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
-            pl.BlockSpec((1, 3, 8, 32, 128), lambda i, y: (i, 0, y, 0, 0)),
+            pl.BlockSpec((1, 3, 8, 16, 128), lambda i, y: (i, 0, y, 0, 0)),
             pl.BlockSpec((1, 8, 32), lambda i, y: (i, y, 0)),
             pl.BlockSpec((1, 8, 32), lambda i, y: (i, y, 0)),
             pl.BlockSpec((1, 8, 32), lambda i, y: (i, y, 0)),
@@ -216,7 +223,7 @@ def quantize_cells(
     )(
         coef8.reshape(g, 3, 32, 32, 64),
         coef_v,
-        jnp.repeat(coef_h, 2, axis=3),
+        coef_h,
         strategy.astype(jnp.int32),
         raw_qf.astype(jnp.int32),
         fac_x.astype(jnp.float32),

@@ -55,31 +55,49 @@ def _ceil_log2_nz(v):
     return (n + (vi != (1 << n)).astype(jnp.int32)).astype(jnp.float32)
 
 
-def _family(coef_c, coef_y, qm, q, cf, slope):
+K_IL = F32(138.0)
+
+
+def _family(coef_c, coef_y, qm, q, m, cf, slope):
     """Per-cell partial sums for one (family, channel).
 
-    coef_c/coef_y: [..., S] f32; qm: [S] f32 broadcastable; q/cf: [...]
-    f32 cell maps. Returns (ent, il, il2) each [...]."""
+    coef_c/coef_y: [..., S] f32; qm: [S] f32 broadcastable; q/m/cf: [...]
+    f32 cell maps (m = the per-cell masking this family combines with).
+    Returns (ent, il2) each [...].
+
+    Lane reductions dominate this kernel (each sum over S is ~2*log2(S)
+    full-width roll+add passes), so the five per-channel sums of the jnp
+    twin are folded into three: the three entropy terms and the
+    masking-weighted info-loss (masking * 138 * diff — a linear term of
+    the final combine, so it can ride inside the same summand) share ONE
+    reduction; nzeros (needed exactly, for the nbits terms) and the
+    squared info-loss (nonlinear in the combine: sqrt of the channel sum)
+    keep their own. Same mathematical quantities as the twin up to float
+    summation order (~1 ulp; strategy decisions are heuristic picks and
+    the twin-equality test allows ULP drift)."""
     val = (coef_c - cf[..., None] * coef_y) * qm * q[..., None]
     rval = jnp.round(val)
     diff = jnp.abs(val - rval)
-    il = diff.sum(axis=-1)
     il2 = (diff * diff).sum(axis=-1)
     aq = jnp.abs(rval)
-    nzeros = (aq != 0).sum(axis=-1)
-    ent = (
-        (aq >= 1.5).sum(axis=-1).astype(jnp.float32) * K_ABOVE15
-        + jnp.sqrt(aq).sum(axis=-1) * K_SQRT
-        + nzeros.astype(jnp.float32) * F32(1.0 + slope * float(K_NZ_SLOPE))
+    nz = aq != 0
+    e = (
+        jnp.where(aq >= F32(1.5), K_ABOVE15, F32(0.0))
+        + jnp.sqrt(aq) * K_SQRT
+        + nz.astype(jnp.float32) * F32(1.0 + slope * float(K_NZ_SLOPE))
+        + (m * K_IL)[..., None] * diff
     )
+    esum = e.sum(axis=-1)
+    nzeros = nz.sum(axis=-1)
     nbits = _ceil_log2_nz(nzeros + 1) + 1.0
-    ent = ent + K_NBITS * (_ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits)
-    return ent, il, il2
+    ent = esum + K_NBITS * (_ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits)
+    return ent, il2
 
 
 def _estimate_kernel(
     c8_ref, cv_ref, ch_ref,
-    q8_ref, qv_ref, qh_ref, f8_ref, fv_ref, fh_ref,
+    q8_ref, qv_ref, qh_ref, m8_ref, mv_ref, mh_ref,
+    f8_ref, fv_ref, fh_ref,
     qm8_ref, qm16_ref,
     o8_ref, ov_ref, oh_ref, *, slope,
 ):
@@ -99,41 +117,41 @@ def _estimate_kernel(
                 return f[1]
             return jnp.zeros_like(f[0])
 
-        ent, il, il2 = _family(
-            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], cf_of(f8_ref),
-            slope,
+        ent, il2 = _family(
+            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], m8_ref[0],
+            cf_of(f8_ref), slope,
         )
         o8_ref[0, ci, 0] = ent
-        o8_ref[0, ci, 1] = il
-        o8_ref[0, ci, 2] = il2
+        o8_ref[0, ci, 1] = il2
 
-        ent, il, il2 = _family(
-            cv_ref[0, ci], cv_ref[0, 1], qm16, qv_ref[0], cf_of(fv_ref),
-            slope,
+        ent, il2 = _family(
+            cv_ref[0, ci], cv_ref[0, 1], qm16, qv_ref[0], mv_ref[0],
+            cf_of(fv_ref), slope,
         )
         ov_ref[0, ci, 0] = ent
-        ov_ref[0, ci, 1] = il
-        ov_ref[0, ci, 2] = il2
+        ov_ref[0, ci, 1] = il2
 
-        ent, il, il2 = _family(
-            ch_ref[0, ci], ch_ref[0, 1], qm16, qh_ref[0], cf_of(fh_ref),
-            slope,
+        ent, il2 = _family(
+            ch_ref[0, ci], ch_ref[0, 1], qm16, qh_ref[0], mh_ref[0],
+            cf_of(fh_ref), slope,
         )
         oh_ref[0, ci, 0] = ent
-        oh_ref[0, ci, 1] = il
-        oh_ref[0, ci, 2] = il2
+        oh_ref[0, ci, 1] = il2
 
 
 def estimate_partials(
-    coef8, coef_v, coef_h, q8, qv, qh, fac8, facv, fach, qm8, qm16, slope
+    coef8, coef_v, coef_h, q8, qv, qh, m8, mv, mh, fac8, facv, fach,
+    qm8, qm16, slope,
 ):
     """coef8: [G,3,32,32,64]; coef_v: [G,3,16,32,128]; coef_h:
     [G,3,32,16,128]; q8/qv/qh: [G,32,32]/[G,16,32]/[G,32,16] quant maps;
-    fac8/facv/fach: [G,2,...] stacked (fac_x, fac_b) cell maps; qm8/qm16:
-    [3,64]/[3,128] inverse-quant weights.
+    m8/mv/mh: the matching masking maps (folded into the entropy partial,
+    see _family); fac8/facv/fach: [G,2,...] stacked (fac_x, fac_b) cell
+    maps; qm8/qm16: [3,64]/[3,128] inverse-quant weights.
 
-    Returns (p8 [G,3,3,32,32], pv [G,3,3,16,32], ph [G,3,3,32,16]) f32 —
-    axis 1 = channel, axis 2 = (ent, info_loss, info_loss2) partials."""
+    Returns (p8 [G,3,2,32,32], pv [G,3,2,16,32], ph [G,3,2,32,16]) f32 —
+    axis 1 = channel, axis 2 = (ent + masking*138*info_loss, info_loss2)
+    partials."""
     g = coef8.shape[0]
     kern = functools.partial(_estimate_kernel, slope=float(slope))
     return pl.pallas_call(
@@ -146,6 +164,9 @@ def estimate_partials(
             pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 2, 32, 32), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 2, 16, 32), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
@@ -153,14 +174,14 @@ def estimate_partials(
             pl.BlockSpec((3, 128), lambda i: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, 3, 32, 32), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 3, 16, 32), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 3, 3, 32, 16), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 2, 32, 32), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 2, 16, 32), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 2, 32, 16), lambda i: (i, 0, 0, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((g, 3, 3, 32, 32), jnp.float32),
-            jax.ShapeDtypeStruct((g, 3, 3, 16, 32), jnp.float32),
-            jax.ShapeDtypeStruct((g, 3, 3, 32, 16), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 2, 32, 32), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 2, 16, 32), jnp.float32),
+            jax.ShapeDtypeStruct((g, 3, 2, 32, 16), jnp.float32),
         ],
         interpret=_interpret(),
     )(
@@ -170,6 +191,9 @@ def estimate_partials(
         q8.astype(jnp.float32),
         qv.astype(jnp.float32),
         qh.astype(jnp.float32),
+        m8.astype(jnp.float32),
+        mv.astype(jnp.float32),
+        mh.astype(jnp.float32),
         fac8.astype(jnp.float32),
         facv.astype(jnp.float32),
         fach.astype(jnp.float32),
@@ -179,12 +203,12 @@ def estimate_partials(
 
 
 def combine_partials(p, masking, num_blocks):
-    """(ent, il, il2) per-channel partials [G,3,3,...] + masking [G,...]
-    -> estimate map [G,...] (the tail of pipeline_jax._estimate_entropy)."""
+    """(ent + masking*138*il, il2) per-channel partials [G,3,2,...] +
+    masking [G,...] -> estimate map [G,...] (the tail of
+    pipeline_jax._estimate_entropy; the 138*il term already rode inside
+    the kernel's entropy partial)."""
     entropy = p[:, :, 0].sum(axis=1)
-    il = p[:, :, 1].sum(axis=1)
-    il2 = p[:, :, 2].sum(axis=1)
-    score = F32(138.0) * il + F32(50.46839691767866) * jnp.sqrt(
-        num_blocks * il2
+    il2 = p[:, :, 1].sum(axis=1)
+    return entropy + masking * (
+        F32(50.46839691767866) * jnp.sqrt(num_blocks * il2)
     )
-    return entropy + masking * score

@@ -80,11 +80,15 @@ def _tokenize_block(x, meta, tri, freq):
     prev = jnp.where(lane == covered, prev_init, prev_nz)
 
     nzl_shift = jnp.where(cov2, (nz_left + 1) >> 1, nz_left)
-    nnz_part = jnp.zeros_like(x)
-    for t, d in zip(_NNZ_THRESH.tolist(), _NNZ_DELTA.tolist()):
-        nnz_part = nnz_part + jnp.where(nzl_shift >= t, d, 0)
     freq_sel = jnp.where(cov2, freq[1][None, None, :], freq[0][None, None, :])
-    q = jnp.minimum(nnz_part + freq_sel, 5)
+    # q = min(nnz_part + freq_part, 5) saturates whenever ANY nnz step has
+    # fired: every COEFF_NNZ_CTX delta is >= 26 > 5 (the base-64 cap), so
+    # the full 7-step monotone step function (12+ vector passes on the fat
+    # lane array in round 4) collapses to one threshold test against the
+    # first step. Guarded by the assert in tokenize_cells.
+    q = jnp.where(
+        nzl_shift >= int(_NNZ_THRESH[0]), 5, jnp.minimum(freq_sel, 5)
+    )
     coeff_ctx = 16 + block_ctx * 12 + q * 2 + prev  # base64_zd
     tok_valid = in_range & (nz_left > 0) & (first > 0)
     coeff_val = jnp.where(x >= 0, 2 * x, -2 * x - 1)  # pack_signed
@@ -116,6 +120,9 @@ def tokenize_cells(
     Returns (tokens_full [..., 128] u32 — lane 0 = nzeros token, lanes >=1
     = coefficient tokens; count_full [...] i32), bit-equal to the jnp tail
     of encode_groups."""
+    # The kernel's one-test NNZ context shortcut requires every step delta
+    # to exceed the base-64 q cap (see _tokenize_block).
+    assert int(_NNZ_DELTA.min()) > 5, "NNZ deltas must saturate the q cap"
     shp = ordered.shape
     n = int(np.prod(shp[:-1]))
     meta = pack_row_meta(

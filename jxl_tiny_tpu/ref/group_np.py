@@ -18,7 +18,7 @@ import dataclasses
 import numpy as np
 
 from .. import constants as C
-from .dct_np import dct2d_blocks
+from .dct_np import dct2d_blocks, dct16x8_from_8, dct8x16_from_8
 
 
 def _round_away(x):
@@ -98,12 +98,11 @@ def encode_group(
     coef8 = dct2d_blocks(
         xyb.reshape(3, yb, 8, xb, 8).transpose(0, 1, 3, 2, 4)
     )  # [3, yb, xb, 8, 8]
-    coef_v = dct2d_blocks(
-        xyb.reshape(3, yb // 2, 16, xb, 8).transpose(0, 1, 3, 2, 4)
-    )  # [3, yb/2, xb, 8, 16]
-    coef_h = dct2d_blocks(
-        xyb.reshape(3, yb, 8, xb // 2, 16).transpose(0, 1, 3, 2, 4)
-    )  # [3, yb, xb/2, 8, 16]
+    # DCT16 families by recombination of the 8x8 DCTs (see dct_np).
+    coef_v = dct16x8_from_8(coef8[:, 0::2], coef8[:, 1::2])
+    # [3, yb/2, xb, 8, 16]
+    coef_h = dct8x16_from_8(coef8[:, :, 0::2], coef8[:, :, 1::2])
+    # [3, yb, xb/2, 8, 16]
 
     # Per-first-cell unified coefficient array [3, yb, xb, 128] (pad DCT8 with 0).
     coefs = np.zeros((3, yb, xb, 128), np.float32)

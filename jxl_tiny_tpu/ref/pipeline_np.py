@@ -13,7 +13,7 @@ stripe boundaries.
 import numpy as np
 
 from .. import constants as C
-from .dct_np import dct2d_blocks
+from .dct_np import dct2d_blocks, dct16x8_from_8, dct8x16_from_8
 
 
 # ---------------------------------------------------------------------------
@@ -366,15 +366,20 @@ def compute_ac_strategy(
     strategy = np.zeros((yb, xb), np.uint8)
     is_first = np.ones((yb, xb), bool)
 
-    # Candidate coefficient sets.
+    # Candidate coefficient sets. The DCT16 families come from
+    # recombination of the 8x8 DCTs (dct_np.dct16x8_from_8) rather than
+    # fresh 16-point transforms — bit-equal to the jax pipeline's form.
     blocks8 = xyb.reshape(3, yb, 8, xb, 8).transpose(0, 1, 3, 2, 4)
-    coef8 = dct2d_blocks(blocks8).reshape(3, yb, xb, 64)
+    coef8b = dct2d_blocks(blocks8)  # [3, yb, xb, 8, 8]
+    coef8 = coef8b.reshape(3, yb, xb, 64)
     # Vertical 16x8 (8w x 16h) at even by.
-    blk_v = xyb.reshape(3, yb // 2, 16, xb, 8).transpose(0, 1, 3, 2, 4)
-    coef_v = dct2d_blocks(blk_v).reshape(3, yb // 2, xb, 128)
+    coef_v = dct16x8_from_8(coef8b[:, 0::2], coef8b[:, 1::2]).reshape(
+        3, yb // 2, xb, 128
+    )
     # Horizontal 8x16 (16w x 8h) at even bx.
-    blk_h = xyb.reshape(3, yb, 8, xb // 2, 16).transpose(0, 1, 3, 2, 4)
-    coef_h = dct2d_blocks(blk_h).reshape(3, yb, xb // 2, 128)
+    coef_h = dct8x16_from_8(coef8b[:, :, 0::2], coef8b[:, :, 1::2]).reshape(
+        3, yb, xb // 2, 128
+    )
 
     qm8 = C.QUANT_DCT8.reshape(3, 64)
     qm16 = C.QUANT_DCT16.reshape(3, 128)

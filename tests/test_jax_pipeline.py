@@ -105,6 +105,7 @@ def test_strategy_kernel_matches_jnp_twin():
     m_h = jnp.maximum(masking[:, :, ::2], masking[:, :, 1::2])
     p8, pv, ph = estimate_partials(
         coef8, coef_v, coef_h, qf, q_v, q_h,
+        masking, m_v, m_h,
         jnp.stack([fac_x, fac_b], axis=1),
         jnp.stack([fac_x[:, ::2], fac_b[:, ::2]], axis=1),
         jnp.stack([fac_x[:, :, ::2], fac_b[:, :, ::2]], axis=1),

@@ -5,7 +5,7 @@
 Measures on the attached chip + its link:
   1. link upload bandwidth (8 MB u8 and 33 MB f16 payloads) + RT latency,
   2. per-image device compute (programs A+B, resident pixels),
-  3. pipelined e2e throughput (encode_images_device, depth 2) over N
+  3. pipelined e2e throughput (encode_images_device, default depth) over N
      images -> overlap efficiency = ideal pipeline bound / measured,
 then solves for the link bandwidth where pipelined e2e crosses the 21.9
 MP/s CPU reference anchor:
