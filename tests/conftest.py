@@ -16,6 +16,26 @@ import numpy as np
 import pytest
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow",
+        action="store_true",
+        default=False,
+        help="run tests marked slow (exhaustive byte-identity / fuzz "
+        "variants). The default run keeps a fast representative of every "
+        "class; the round-gate full suite runs with --runslow.",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow variant; run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def _n_maps():
     try:
         with open("/proc/self/maps") as f:

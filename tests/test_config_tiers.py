@@ -99,6 +99,7 @@ def test_static_candidate_selection_matches_host():
     assert decode_jxl(data) is not None
 
 
+@pytest.mark.slow  # 343s; static candidate selection + tier combos run by default
 def test_static_batch_matches_single_images():
     """The fused one-dispatch batch static program (per-image candidate
     selection vmapped over the image axis) must produce the same bytes as
@@ -125,6 +126,7 @@ def test_static_batch_matches_single_images():
         assert decode_jxl(b) is not None
 
 
+@pytest.mark.slow  # 288s; the synthetic overhead bound runs by default
 def test_static_codes_photographic_overhead():
     """On photographic content — what the corpus-trained tables are for —
     the static tier must stay within 6% of the two-pass size at the default

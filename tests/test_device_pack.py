@@ -281,6 +281,7 @@ def test_device_dc_sections_byte_equal_host():
     assert dev.to_bytes() == host.to_bytes()
 
 
+@pytest.mark.slow  # 260s; single-DC-group byte equality runs by default
 def test_device_dc_multi_dc_group_byte_equal():
     """Two DC-group columns (image wider than 2048): the vmapped regrouping
     and per-DC-group dims must still match the host serializer bytes."""

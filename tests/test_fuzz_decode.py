@@ -133,6 +133,7 @@ def test_bitflip_fuzz_golden_masked(testdata, name):
     )
 
 
+@pytest.mark.slow  # 327s; the main golden fuzz runs by default
 def test_bitflip_fuzz_multisection():
     """Same property on a multi-group stream (real per-section TOC, DC +
     AC group sections all present as separate byte ranges)."""
@@ -147,6 +148,7 @@ def test_bitflip_fuzz_multisection():
     assert _inert_ok(data, same_pos), sorted(p // 8 for p in same_pos)
 
 
+@pytest.mark.slow  # 470s; the main golden fuzz runs by default
 def test_bitflip_fuzz_static_tier():
     """The static-entropy-code tier (optimize_code=False, the reference's
     OPTIMIZE_CODE=0 build) emits differently-shaped global sections (baked
@@ -167,6 +169,7 @@ def test_bitflip_fuzz_static_tier():
     assert _inert_ok(data, same_pos), sorted(p // 8 for p in same_pos)
 
 
+@pytest.mark.slow  # 370s; the main golden fuzz runs by default
 def test_bitflip_fuzz_batch_stream():
     """A stream produced by the batched device program (encode_batch_device,
     one XLA program for N same-sized images) must be as fuzz-strict as the

@@ -1,6 +1,7 @@
 """HDR float input (PFM values exceed [0,1], README.md:20-24 of the
 reference: values may exceed 1.0) must encode and decode sanely."""
 import numpy as np
+import pytest
 
 from jxl_tiny_tpu.encoder import encode_image_device
 from jxl_tiny_tpu.decode.decoder import decode_jxl
@@ -29,6 +30,7 @@ def test_hdr_roundtrip():
     assert np.median(rel) < 0.05, f"median rel err {np.median(rel):.3f}"
 
 
+@pytest.mark.slow  # 204s; hdr roundtrip runs by default
 def test_hdr_saturating_quantizer_consistent():
     """Extreme-HDR content at low distance drives quantized DC/AC values
     past the 64-symbol alphabet's 16-bit ceiling (round-1 advisor finding:

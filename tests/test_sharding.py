@@ -38,6 +38,7 @@ def _groups(n=8):
     return g
 
 
+@pytest.mark.slow  # 280s; covered by test_mesh_matches_single_chip_bytes[u8-None] default
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_mesh_encode_byte_identical_to_single_device():
     """Full encode through encode_image_device_mesh: identical bytes on a
@@ -137,10 +138,12 @@ def _test_image(h=300, w=700, seed=12):
 @pytest.mark.parametrize(
     "dtype,cfg",
     [
-        ("f32", None),
+        # [u8-None] (the flagship ingest, default config) is the default
+        # run's representative; the other tiers are --runslow variants.
+        pytest.param("f32", None, marks=pytest.mark.slow),
         ("u8", None),
-        ("u8", "static"),
-        ("f32", "min"),
+        pytest.param("u8", "static", marks=pytest.mark.slow),
+        pytest.param("f32", "min", marks=pytest.mark.slow),
     ],
 )
 def test_mesh_matches_single_chip_bytes(dtype, cfg):
@@ -208,6 +211,7 @@ def test_mesh_f16_plane_ingest_matches_single_chip():
     )
 
 
+@pytest.mark.slow  # 659s; batch-mesh parity; fast batch coverage stays in test_utils
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_batch_mesh_byte_identical_to_single_device():
     """encode_batch_device over an image-axis-sharded mesh: identical
