@@ -166,11 +166,15 @@ def left_pack(val, keep):
     return val
 
 
-def merge_rows(rows_tok, rows_cnt, levels=6):
+def merge_rows(
+    rows_tok, rows_cnt, levels=6, starts=None, full_init=None,
+    collect_tails=True,
+):
     """Log-merge preconditioner: pairwise-merge adjacent emission rows whose
-    combined token count fits in W, halving (per level) the rows the compact
-    kernel's scalar loop must visit. Vectorized jnp: the variable right-shift
-    of the tail row by the head's count is 7 conditional static shifts.
+    combined token count fits in the row width, halving (per level) the
+    rows the compact kernel's scalar loop must visit. Vectorized jnp: the
+    variable right-shift of the tail row by the head's count is
+    log2(width) conditional static shifts.
 
     Bit-exact by construction — tokens keep their stream positions, carried
     as explicit per-row starts. A tail may only merge into a head that
@@ -180,15 +184,27 @@ def merge_rows(rows_tok, rows_cnt, levels=6):
     free for the OR-placing kernel), so each level touches half the data
     of the one before instead of rebuilding the full array.
 
-    Returns (tok [G, R, W], starts [G, R], cnt [G, R], totals [G])."""
+    Returns (tok [G, R, W], starts [G, R], cnt [G, R], totals [G]).
+
+    width/starts/full_init/collect_tails parametrize the hierarchical
+    variant (compact_stream_hier): a narrower merge width (fewer shift
+    passes on narrower arrays), explicit global starts (the input rows may
+    be pre-merged heads whose counts no longer cumsum to positions), a
+    seeded fullness mask, and tail-dropping (the caller recovers dropped
+    rows by coverage instead)."""
     g, R, _ = rows_tok.shape
+    width = rows_tok.shape[-1]
+    shift_bits = max(1, (width - 1).bit_length())
     cnt = rows_cnt.astype(jnp.int32)
-    ends = jnp.cumsum(cnt, axis=1)
-    totals = ends[:, -1]
-    starts = ends - cnt
-    lanes = jnp.arange(W)
+    if starts is None:
+        ends = jnp.cumsum(cnt, axis=1)
+        totals = ends[:, -1]
+        starts = ends - cnt
+    else:
+        totals = None
+    lanes = jnp.arange(width)
     H, S, Cn = rows_tok, starts, cnt
-    full = jnp.ones((g, R), bool)
+    full = jnp.ones((g, R), bool) if full_init is None else full_init
     tails = []
     for _ in range(levels):
         if H.shape[1] % 2:
@@ -202,9 +218,9 @@ def merge_rows(rows_tok, rows_cnt, levels=6):
         s1 = S.reshape(g, -1, 2)[:, :, 1]
         fr = full.reshape(g, -1, 2)
         f0, f1 = fr[:, :, 0], fr[:, :, 1]
-        do = f0 & (c1 > 0) & (c0 + c1 <= W)
+        do = f0 & (c1 > 0) & (c0 + c1 <= width)
         sft = tail
-        for b in range(7):
+        for b in range(shift_bits):
             sh = 1 << b
             shifted = jnp.concatenate(
                 [jnp.zeros_like(sft[..., :sh]), sft[..., :-sh]], axis=-1
@@ -217,12 +233,15 @@ def merge_rows(rows_tok, rows_cnt, levels=6):
             (lanes >= c0[..., None]) & (lanes < (c0 + c1)[..., None]), sft, 0
         )
         H = jnp.where(do[..., None], hm | sm, head)
-        tails.append(
-            (jnp.where(do[..., None], 0, tail), s1, jnp.where(do, 0, c1))
-        )
+        if collect_tails:
+            tails.append(
+                (jnp.where(do[..., None], 0, tail), s1, jnp.where(do, 0, c1))
+            )
         Cn = jnp.where(do, c0 + c1, c0)
         S = S.reshape(g, -1, 2)[:, :, 0]
         full = f0 & f1 & (do | (c1 == 0))
+    if not collect_tails:
+        return H, S, Cn, full
     tok = jnp.concatenate([H] + [t[0] for t in reversed(tails)], axis=1)
     st = jnp.concatenate([S] + [t[1] for t in reversed(tails)], axis=1)
     ct = jnp.concatenate([Cn] + [t[2] for t in reversed(tails)], axis=1)
@@ -280,6 +299,140 @@ def compact_stream(rows_tok, rows_cnt, cap, merge_levels=6):
         out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
         interpret=_interpret(),
     )(meta, rows_tok)
+    return stream[:, 0], totals
+
+
+THIN_W = 32  # thin-row width of the hierarchical compaction
+
+
+def _compact_hier_kernel(
+    metaW_ref, meta2_ref, tokW_ref, thin_ref, orig_ref, out_ref, *, cap
+):
+    out_ref[...] = jnp.zeros_like(out_ref)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
+
+    def place(row256, s, c):
+        a = s & (W - 1)
+        w0 = jnp.minimum((s >> 7) * W, cap - W)
+        w0 = pl.multiple_of(w0, W)
+        rot = pltpu.roll(row256, a, axis=1)
+        contrib = jnp.where((lanes >= a) & (lanes < a + c), rot, jnp.uint32(0))
+        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+
+    zero_half = jnp.zeros((1, W), jnp.uint32)
+    zero_thin = jnp.zeros((1, 2 * W - THIN_W), jnp.uint32)
+
+    def body_w(i, _):  # merged wide entries
+        r = metaW_ref[0, 2, i]
+        row = tokW_ref[0, r, :].reshape(1, W)
+        place(
+            jnp.concatenate([row, zero_half], axis=1),
+            metaW_ref[0, 0, r], metaW_ref[0, 1, r],
+        )
+        return 0
+
+    jax.lax.fori_loop(0, metaW_ref[0, 3, 0], body_w, 0)
+
+    def body_s(i, _):  # unabsorbed thin rows (<= THIN_W tokens)
+        r = meta2_ref[0, 2, i]
+        row = thin_ref[0, r, :].reshape(1, THIN_W)
+        place(
+            jnp.concatenate([row, zero_thin], axis=1),
+            meta2_ref[0, 0, r], meta2_ref[0, 1, r],
+        )
+        return 0
+
+    jax.lax.fori_loop(0, meta2_ref[0, 4, 0], body_s, 0)
+
+    def body_f(i, _):  # fat rows, from the original full-width array
+        r = meta2_ref[0, 3, i]
+        row = orig_ref[0, r, :].reshape(1, W)
+        place(
+            jnp.concatenate([row, zero_half], axis=1),
+            meta2_ref[0, 0, r], meta2_ref[0, 1, r],
+        )
+        return 0
+
+    jax.lax.fori_loop(0, meta2_ref[0, 5, 0], body_f, 0)
+
+
+def compact_stream_hier(rows_tok, rows_cnt, cap, thin_levels=2, wide_levels=4):
+    """Hierarchical compact_stream (same contract): merge the cheap levels
+    at THIN_W lanes instead of 128.
+
+    Content measurement (photo8mp crop, d=1.0): emission rows average ~4
+    tokens, 96.7% hold <= 32 — so the classic merge's first levels push
+    128-lane arrays around to combine handfuls of tokens. Here:
+
+      1. rows with <= THIN_W tokens merge at THIN_W lanes for thin_levels
+         levels (quarter the traffic, 5-bit shifts), WITHOUT collecting
+         tails — a dropped tail's constituent rows are recovered by
+         coverage: a level-k head always absorbs a contiguous prefix run
+         of its 2^k-row block, so row r was absorbed iff its token range
+         ends within its block head's range (ends[r] <= head_end[block]).
+      2. surviving heads zero-pad to 128 lanes and continue through the
+         classic tail-collecting merge at a quarter of the row count.
+      3. the placement kernel runs three scalar loops: merged wide
+         entries, unabsorbed thin rows (read at THIN_W lanes from the
+         thin slice), and fat rows (> THIN_W tokens, 3.3% measured) read
+         from the original full-width array.
+
+    Byte-equal to compact_stream (tested); the split is position-explicit
+    so OR-placement order stays free."""
+    g, R, _ = rows_tok.shape
+    assert R % (1 << thin_levels) == 0
+    cnt = rows_cnt.astype(jnp.int32)
+    ends = jnp.cumsum(cnt, axis=1)
+    starts = ends - cnt
+    totals = ends[:, -1]
+    fat = cnt > THIN_W
+    thin_cnt = jnp.where(fat, 0, cnt)
+    thin_tok = rows_tok[:, :, :THIN_W]
+    H, S, Cn, full = merge_rows(
+        thin_tok, thin_cnt, thin_levels, starts=starts, full_init=~fat,
+        collect_tails=False,
+    )
+    blk = 1 << thin_levels
+    head_end = jnp.repeat(S + Cn, blk, axis=1)  # [G, R]
+    solo = (cnt > 0) & ~fat & (ends > head_end)
+    Hw = jnp.concatenate(
+        [H, jnp.zeros(H.shape[:2] + (W - THIN_W,), jnp.uint32)], axis=-1
+    )
+    tokW, stW, ctW, _ = merge_rows(
+        Hw, Cn, wide_levels, starts=S, full_init=full
+    )
+    rw = tokW.shape[1]
+    idxW = jnp.broadcast_to(jnp.arange(rw, dtype=jnp.int32), (g, rw))
+    idxR = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32), (g, R))
+    orderW = left_pack(idxW, ctW > 0)
+    nW = jnp.broadcast_to(
+        (ctW > 0).sum(axis=1)[:, None], (g, rw)
+    ).astype(jnp.int32)
+    metaW = jnp.stack([stW, ctW, orderW, nW], axis=1)  # [G,4,rw]
+    order_s = left_pack(idxR, solo)
+    order_f = left_pack(idxR, fat)
+    n_s = jnp.broadcast_to(solo.sum(axis=1)[:, None], (g, R)).astype(jnp.int32)
+    n_f = jnp.broadcast_to(fat.sum(axis=1)[:, None], (g, R)).astype(jnp.int32)
+    meta2 = jnp.stack(
+        [starts, cnt, order_s, order_f, n_s, n_f], axis=1
+    )  # [G,6,R]
+    stream = pl.pallas_call(
+        functools.partial(_compact_hier_kernel, cap=cap),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 4, rw), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6, R), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, rw, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, THIN_W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        interpret=_interpret(),
+    )(metaW, meta2, tokW, thin_tok, rows_tok)
     return stream[:, 0], totals
 
 

@@ -678,7 +678,9 @@ def encode_groups_stream(
 
     Returns (stream [G, cap+128] u32, totals [G] i32, quant_dc
     [G,3,32,32] i32)."""
-    from .pack_kernels import compact_stream
+    import os
+
+    from .pack_kernels import compact_stream, compact_stream_hier
     from .tokenize_kernel import tokenize_cells
 
     g = coef8.shape[0]
@@ -701,7 +703,15 @@ def encode_groups_stream(
         em(m["block_ctx"]), em(m["nzero_ctx"]), em(m["prev_init"]),
         em(first_b),
     )
-    stream, totals = compact_stream(
+    # Hierarchical (thin-first) compaction is the default; the classic
+    # single-width path stays selectable for A/B (JXL_COMPACT_HIER=0) and
+    # remains the word-packer's engine.
+    compact = (
+        compact_stream
+        if os.environ.get("JXL_COMPACT_HIER", "1") == "0"
+        else compact_stream_hier
+    )
+    stream, totals = compact(
         tokens_em.reshape(g, -1, 128), count_em.reshape(g, -1), cap
     )
     return stream, totals, m["quant_dc"]

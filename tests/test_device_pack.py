@@ -48,6 +48,39 @@ def test_compact_stream():
         assert (stream[k, len(ref) : cap] == 0).all()
 
 
+def test_compact_stream_hier_matches_classic():
+    """The hierarchical (thin-first, coverage-recovered) compaction must be
+    byte-equal to the classic path on mixed content: empty rows, typical
+    thin rows, fat rows (> THIN_W tokens) sprinkled anywhere, and a group
+    of all-max rows."""
+    rng = np.random.RandomState(3)
+    g = 3
+    cnt = rng.poisson(4.0, size=(g, PK.ROWS)).clip(0, 128).astype(np.int32)
+    cnt[rng.rand(g, PK.ROWS) < 0.5] = 0
+    fat_at = rng.rand(g, PK.ROWS) < 0.03
+    cnt[fat_at] = rng.randint(33, 129, size=int(fat_at.sum()))
+    cnt[2, :200] = 128  # heavy prefix: exercises fat runs + big positions
+    tok = rng.randint(1, 1 << 27, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
+    cap = 32768
+    s_ref, t_ref = PK.compact_stream(jnp.asarray(tok), jnp.asarray(cnt), cap)
+    s_hier, t_hier = PK.compact_stream_hier(
+        jnp.asarray(tok), jnp.asarray(cnt), cap
+    )
+    assert np.array_equal(np.asarray(t_ref), np.asarray(t_hier))
+    s_ref = np.asarray(s_ref)
+    s_hier = np.asarray(s_hier)
+    for k in range(g):
+        t = int(np.asarray(t_ref)[k])
+        if t > cap:
+            # Over-cap groups are re-run by callers (totals is the
+            # signal); both kernels clamp trailing entries into the last
+            # 128-lane window, so only positions below it are specified.
+            assert np.array_equal(s_ref[k, : cap - 128], s_hier[k, : cap - 128]), k
+        else:
+            assert np.array_equal(s_ref[k, :t], s_hier[k, :t]), k
+            assert (s_hier[k, t:cap] == 0).all()
+
+
 def test_merge_rows_preserves_stream():
     """The log-merge preconditioner must keep every token at its stream
     position (explicit starts; totals identical) while shrinking the
