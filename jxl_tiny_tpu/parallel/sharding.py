@@ -8,6 +8,8 @@ cross-group couplings are the integer histogram psum (order-invariant =>
 byte-identical output for any sharding) and the host-side TOC/byte
 assembly.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -138,6 +140,140 @@ def _mesh_geometry(ysize, xsize, gpad, n):
     return g_img, gpad // n, gd_img, gd_pad, gd_pad // n
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _dc_owner_tables(ysize, xsize, n_shards, gps, gd_ps):
+    """Static routing for the DC-group-owner exchange (SCALING.md's named
+    ~64x all_gather reduction; enc_frame.cc:536-570 locality): every AC
+    group's maps are needed by exactly ONE shard — the owner of its DC
+    group — so a few ppermute ring rounds move each map once instead of
+    the all_gather's everything-to-everyone.
+
+    Returns (deltas tuple, sel [n_shards, len(deltas), gd_ps*64] i32):
+    sel[s, di, m] = the source-local row of member m's group when its
+    source shard is (s - deltas[di]) % n_shards, else -1. Member order:
+    m = local_dc * 64 + my * 8 + mx."""
+    from ..common import div_ceil
+
+    ygr, xgr = div_ceil(ysize, 256), div_ceil(xsize, 256)
+    ydg, xdg = div_ceil(ysize, 2048), div_ceil(xsize, 2048)
+    gd_img = ydg * xdg
+    m_tot = gd_ps * 64
+    need = np.full((n_shards, m_tot), -1, np.int64)
+    for s in range(n_shards):
+        for dl in range(gd_ps):
+            d = s * gd_ps + dl
+            if d >= gd_img:
+                continue
+            dy, dx = d // xdg, d % xdg
+            for my in range(8):
+                gy = dy * 8 + my
+                if gy >= ygr:
+                    continue
+                for mx in range(8):
+                    gx = dx * 8 + mx
+                    if gx < xgr:
+                        need[s, dl * 64 + my * 8 + mx] = gy * xgr + gx
+    src = np.where(need >= 0, need // gps, -1)
+    deltas = sorted(
+        {
+            int((s - src[s, m]) % n_shards)
+            for s in range(n_shards)
+            for m in range(m_tot)
+            if src[s, m] >= 0
+        }
+    )
+    sel = np.full((n_shards, max(len(deltas), 1), m_tot), -1, np.int32)
+    for s in range(n_shards):
+        for di, dlt in enumerate(deltas):
+            match = (src[s] >= 0) & (src[s] == (s - dlt) % n_shards)
+            sel[s, di, match] = (need[s, match] % gps).astype(np.int32)
+    return tuple(deltas), sel
+
+
+def _dc_layout_owner_exchange(
+    maps, i, ysize, xsize, n, gps, gd_img, gd_ps,
+):
+    """Owner-routed replacement for the all_gather + full-layout build:
+    each shard receives only its DC groups' member maps (one ppermute ring
+    round per static source-distance) and builds only its own layout
+    slice. Bit-identical to the all_gather path (integer maps, exact
+    placement; tested)."""
+    from ..common import div_ceil
+    from ..ops import dc_kernels as DK
+
+    deltas, sel_np = _dc_owner_tables(ysize, xsize, n, gps, gd_ps)
+    sel = jnp.asarray(sel_np)
+    m_tot = gd_ps * 64
+    maps = [m.astype(jnp.int32) for m in maps]  # uniform exact accumulate
+    accs = [
+        jnp.zeros((m_tot,) + m.shape[1:], jnp.int32) for m in maps
+    ]
+    for di, dlt in enumerate(deltas):
+        if dlt == 0:
+            recv = maps
+        else:
+            perm = [(j, (j + dlt) % n) for j in range(n)]
+            recv = [jax.lax.ppermute(m, "g", perm) for m in maps]
+        idx = sel[i, di]  # [m_tot], -1 = not this round
+        ok = idx >= 0
+        ic = jnp.clip(idx, 0)
+        for k, r in enumerate(recv):
+            take = jnp.take(r, ic, axis=0)
+            okb = ok.reshape((m_tot,) + (1,) * (take.ndim - 1))
+            accs[k] = accs[k] + jnp.where(okb, take, 0)
+
+    def mosaic(a, trailing):
+        # member-ordered [gd_ps*64, (C,) t, t] -> DC-group planes
+        # [gd_ps, (C,) 8t, 8t] (regroup_dc's tile order).
+        t = a.shape[-1]
+        if trailing:
+            c = a.shape[1]
+            v = a.reshape(gd_ps, 8, 8, c, t, t).transpose(0, 3, 1, 4, 2, 5)
+            return v.reshape(gd_ps, c, 8 * t, 8 * t)
+        v = a.reshape(gd_ps, 8, 8, t, t).transpose(0, 1, 3, 2, 4)
+        return v.reshape(gd_ps, 8 * t, 8 * t)
+
+    qdc = mosaic(accs[0].astype(jnp.int32), True)
+    qf = mosaic(accs[1].astype(jnp.int32), False)
+    st = mosaic(accs[2].astype(jnp.int32), False)
+    fi = mosaic(accs[3].astype(jnp.int32), False).astype(bool)
+    yx = mosaic(accs[4].astype(jnp.int32), False)
+    yb_ = mosaic(accs[5].astype(jnp.int32), False)
+
+    # Static per-DC-group dims (same formulas as dc_layout_from_maps),
+    # padded with zeros beyond the image's DC groups.
+    ydg, xdg = div_ceil(ysize, 2048), div_ceil(xsize, 2048)
+    gd_pad_full = max(gd_img, n * gd_ps)
+    ydb = np.zeros(gd_pad_full, np.int32)
+    xdb = np.zeros(gd_pad_full, np.int32)
+    tyv = np.zeros(gd_pad_full, np.int32)
+    txv = np.zeros(gd_pad_full, np.int32)
+    nbv = np.zeros(gd_pad_full, np.int32)
+    for d in range(gd_img):
+        dy, dx = d // xdg, d % xdg
+        ydb[d] = div_ceil(min(2048, ysize - dy * 2048), 8)
+        xdb[d] = div_ceil(min(2048, xsize - dx * 2048), 8)
+        tyv[d] = div_ceil(ydb[d] * 8, 64)
+        txv[d] = div_ceil(xdb[d] * 8, 64)
+        nbv[d] = int(ydb[d] * xdb[d] - 1).bit_length()
+
+    def myslice(a):
+        return jax.lax.dynamic_slice_in_dim(jnp.asarray(a), i * gd_ps, gd_ps, 0)
+
+    my_dc = DK.build_dc_layout(
+        qdc, qf, st, fi, yx, yb_,
+        myslice(ydb), myslice(xdb), myslice(tyv), myslice(txv), myslice(nbv),
+    )
+    # Padded DC-group rows must equal the all_gather path's PAD fill.
+    d_global = i * gd_ps + jnp.arange(gd_ps)
+    return jnp.where(
+        (d_global >= gd_img)[:, None], jnp.uint32(DK.PAD) << 16, my_dc
+    )
+
+
 def _analysis_shard_body(
     img, yb_l, xb_l, distp, cap, cfl, blocks, ysize, xsize,
     g_img, gpad, gps, gd_img, gd_pad, gd_ps,
@@ -172,6 +308,16 @@ def _analysis_shard_body(
         cap=cap, cfl=cfl, blocks=blocks, return_maps=True,
     )
     maps = out.pop("_maps")
+    n = gpad // gps  # static shard count
+    if os.environ.get("JXL_DC_OWNER_EXCHANGE") == "1":
+        # Owner-routed exchange: each map travels once, to its DC-group
+        # owner (ppermute ring rounds; see _dc_layout_owner_exchange) —
+        # byte-identical to the all_gather path below, at 1/N-ish the
+        # fabric volume (SCALING.md model).
+        my_dc = _dc_layout_owner_exchange(
+            maps, i, ysize, xsize, n, gps, gd_img, gd_ps,
+        )
+        return out, my_dc
     full = [jax.lax.all_gather(m, "g", axis=0, tiled=True)[:g_img] for m in maps]
     dc_layout, _ = dc_layout_from_maps(
         *full, ysize=ysize, xsize=xsize, with_hist=False

@@ -48,6 +48,20 @@ def test_compact_stream():
         assert (stream[k, len(ref) : cap] == 0).all()
 
 
+def test_left_pack_property():
+    """left_pack == stable partition of survivors (front, original order,
+    zero tail) for random keep masks and non-power-of-two axis lengths."""
+    rng = np.random.RandomState(5)
+    for n in (7, 128, 300, 3072):
+        val = rng.randint(1, 1 << 30, size=(3, n)).astype(np.int32)
+        keep = rng.rand(3, n) < rng.rand(3, 1)  # varied densities
+        got = np.asarray(PK.left_pack(jnp.asarray(val), jnp.asarray(keep)))
+        for k in range(3):
+            ref = val[k][keep[k]]
+            assert np.array_equal(got[k, : len(ref)], ref), (n, k)
+            assert (got[k, len(ref) :] == 0).all(), (n, k)
+
+
 def test_compact_stream_hier_matches_classic():
     """The hierarchical (thin-first, coverage-recovered) compaction must be
     byte-equal to the classic path on mixed content: empty rows, typical

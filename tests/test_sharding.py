@@ -211,6 +211,25 @@ def test_mesh_f16_plane_ingest_matches_single_chip():
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
+def test_dc_owner_exchange_byte_identical(monkeypatch):
+    """JXL_DC_OWNER_EXCHANGE=1 (ppermute DC-group-owner routing instead of
+    the per-group-map all_gather, SCALING.md's named reduction) must
+    produce byte-identical output on the 8-device mesh — and identical to
+    the single-chip encode. Uses a 2-DC-group-wide image so maps really
+    cross shard boundaries."""
+    from jxl_tiny_tpu.encoder import encode_image_device, encode_image_device_mesh
+
+    img = _test_image(h=220, w=2300, seed=21)  # 9 groups, 2 DC groups
+    base = encode_image_device_mesh(img, 1.0, mesh=make_mesh(jax.devices()[:8]))
+    monkeypatch.setenv("JXL_DC_OWNER_EXCHANGE", "1")
+    ex = encode_image_device_mesh(img, 1.0, mesh=make_mesh(jax.devices()[:8]))
+    assert base == ex
+    monkeypatch.delenv("JXL_DC_OWNER_EXCHANGE")
+    single = encode_image_device(img, 1.0, upload_dtype=None)
+    assert base == single
+
+
 @pytest.mark.slow  # 659s; batch-mesh parity; fast batch coverage stays in test_utils
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8-device mesh")
 def test_batch_mesh_byte_identical_to_single_device():
