@@ -145,7 +145,14 @@ def build_prefixes(distp, cap, ysize, xsize):
         )
 
     def s_compact(st):
-        stream, totals = compact_stream(st["tokens_em"], st["count_em"], cap)
+        from jxl_tiny_tpu.ops.pack_kernels import compact_stream_hier
+
+        compact = (
+            compact_stream
+            if os.environ.get("JXL_COMPACT_HIER", "1") == "0"
+            else compact_stream_hier
+        )
+        stream, totals = compact(st["tokens_em"], st["count_em"], cap)
         return (stream, totals), dict(stream=stream, totals=totals)
 
     def s_hist(st):
