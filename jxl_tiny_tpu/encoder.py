@@ -479,6 +479,7 @@ class DeviceEncodeJob:
         self._run_a = self._make_run_a()
         self._compact_ac = True
         self._compact_dc = True
+        self._packed = False
         self._static = not self.config.optimize_code
         if self._static:
             # One-pass tier: analysis + packing with static codes is a
@@ -532,11 +533,21 @@ class DeviceEncodeJob:
 
         return run_a
 
+    def ready_for_pack(self):
+        """True when pack() would not block on the device (program A's
+        small outputs are already host-fetchable). Used by the pipelined
+        batch driver to pack queued jobs opportunistically."""
+        try:
+            arr = self.out_small if self._static else self.out_a["totals"]
+            return bool(arr.is_ready())
+        except Exception:
+            return True  # conservative: let pack() do the blocking sync
+
     def pack(self):
         """Sync program A's small outputs; build the entropy codes; dispatch
-        the section-packing program. (One-pass static tier: the combined
-        program was already dispatched in __init__; only the token-capacity
-        check remains.)"""
+        the section-packing program. Idempotent. (One-pass static tier: the
+        combined program was already dispatched in __init__; only the
+        token-capacity check remains.)"""
         import jax.numpy as jnp
         from .ops.pack_kernels import ac_base64_map
         from .entropy.entropy_write import (
@@ -544,6 +555,9 @@ class DeviceEncodeJob:
             build_dc_device_code,
         )
 
+        if self._packed:
+            return
+        self._packed = True
         if self._static:
             g2 = 2 * (self._gpad + self._gd_pad)
             # Trailing two entries: the device's AC/DC candidate picks.
@@ -1204,14 +1218,29 @@ def encode_images_device(
                     raise
                 job = DeviceEncodeJob(img, distance, upload_dtype, config=config)
 
+    def pack_ready(jobs):
+        # Opportunistic: any queued job whose program A already finished
+        # gets its entropy code built and program B dispatched NOW, so the
+        # device works through B(i+1) while the host assembles image i —
+        # and finish(i+1) later starts at the section fetch instead of
+        # paying pack's sync round trips on the critical path.
+        for j, _ in jobs:
+            if not j._packed and j.ready_for_pack():
+                try:
+                    j.pack()
+                except Exception:
+                    pass  # finish() retries from pixels
+
     q = deque()
     for img in imgs:
         q.append((DeviceEncodeJob(img, distance, upload_dtype, config=config), img))
         if len(q) >= depth:
             job, im = q.popleft()
+            pack_ready(q)
             yield finish(job, im)
     while q:
         job, im = q.popleft()
+        pack_ready(q)
         yield finish(job, im)
 
 
