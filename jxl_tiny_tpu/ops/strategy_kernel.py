@@ -94,17 +94,79 @@ def _family(coef_c, coef_y, qm, q, m, cf, slope):
     return ent, il2
 
 
+def _seg64_sum(x):
+    """Windowed lane sum: out[..., j] = sum of x[..., j:j+64] (shift-in-
+    zero), so lanes 0 and 64 hold the two 64-lane halves' sums after 6
+    add passes. Explicit add/shift chain — exact ops only, so interpret
+    (CPU) and Mosaic (hardware) agree bitwise by construction."""
+    for s in (1, 2, 4, 8, 16, 32):
+        x = x + jnp.concatenate(
+            [x[..., s:], jnp.zeros_like(x[..., :s])], axis=-1
+        )
+    return x
+
+
+def _family8_packed(coef_c, coef_y, qm128, q_p, m_p, cf_p, slope):
+    """The 8x8 family with two cells packed per 128-lane row (the flat
+    [32,32,64] coefficient array re-viewed as [32,16,128] — a free
+    reshape): full lane utilization for the elementwise chain AND the
+    reductions, which run as one segmented window-sum per quantity
+    instead of per-cell 64-lane reduces at half occupancy.
+
+    coef_c/coef_y: [32,16,128]; qm128: [1,128] (qm8 tiled); q_p/m_p/cf_p:
+    [32,16,128] per-half-broadcast cell maps. Returns (ent, il2) each
+    [32,32] (cells re-interleaved)."""
+    val = (coef_c - cf_p * coef_y) * qm128 * q_p
+    rval = jnp.round(val)
+    diff = jnp.abs(val - rval)
+    aq = jnp.abs(rval)
+    nz = aq != 0
+    e = (
+        jnp.where(aq >= F32(1.5), K_ABOVE15, F32(0.0))
+        + jnp.sqrt(aq) * K_SQRT
+        + nz.astype(jnp.float32) * F32(1.0 + slope * float(K_NZ_SLOPE))
+        + (m_p * K_IL) * diff
+    )
+
+    def halves(x):  # [32,16,128] -> [32,32] (lane 0 / lane 64 per row)
+        r = _seg64_sum(x)
+        return jnp.concatenate([r[..., 0:1], r[..., 64:65]], axis=-1).reshape(
+            32, 32
+        )
+
+    esum = halves(e)
+    il2 = halves(diff * diff)
+    nzeros = halves(nz.astype(jnp.float32)).astype(jnp.int32)
+    nbits = _ceil_log2_nz(nzeros + 1) + 1.0
+    ent = esum + K_NBITS * (_ceil_log2_nz(nbits.astype(jnp.int32) + 17) + nbits)
+    return ent, il2
+
+
+def _pair_bcast(e_map, o_map):
+    """[32,16] even/odd cell maps -> [32,16,128] per-half broadcast."""
+    return jnp.concatenate(
+        [
+            jnp.broadcast_to(e_map[..., None], (32, 16, 64)),
+            jnp.broadcast_to(o_map[..., None], (32, 16, 64)),
+        ],
+        axis=-1,
+    )
+
+
 def _estimate_kernel(
     c8_ref, cv_ref, ch_ref,
-    q8_ref, qv_ref, qh_ref, m8_ref, mv_ref, mh_ref,
-    f8_ref, fv_ref, fh_ref,
+    q8e_ref, q8o_ref, qv_ref, qh_ref, m8e_ref, m8o_ref, mv_ref, mh_ref,
+    f8e_ref, f8o_ref, fv_ref, fh_ref,
     qm8_ref, qm16_ref,
     o8_ref, ov_ref, oh_ref, *, slope,
 ):
     # One grid step per group: all three channels of each coefficient set
     # ride in one block (read once), the CfL term reads the in-block Y.
+    q8_p = _pair_bcast(q8e_ref[0], q8o_ref[0])
+    m8_p = _pair_bcast(m8e_ref[0], m8o_ref[0])
     for ci in range(3):
         qm8 = qm8_ref[ci : ci + 1, :]  # [1,64]
+        qm128 = jnp.concatenate([qm8, qm8], axis=-1)  # [1,128]
         qm16 = qm16_ref[ci : ci + 1, :]  # [1,128]
 
         def cf_of(f_ref):
@@ -117,9 +179,14 @@ def _estimate_kernel(
                 return f[1]
             return jnp.zeros_like(f[0])
 
-        ent, il2 = _family(
-            c8_ref[0, ci], c8_ref[0, 1], qm8, q8_ref[0], m8_ref[0],
-            cf_of(f8_ref), slope,
+        if ci == 1:
+            cf8_p = jnp.zeros((32, 16, 128), jnp.float32)
+        else:
+            cf8_p = _pair_bcast(
+                cf_of(f8e_ref), cf_of(f8o_ref)
+            )
+        ent, il2 = _family8_packed(
+            c8_ref[0, ci], c8_ref[0, 1], qm128, q8_p, m8_p, cf8_p, slope,
         )
         o8_ref[0, ci, 0] = ent
         o8_ref[0, ci, 1] = il2
@@ -154,20 +221,31 @@ def estimate_partials(
     partials."""
     g = coef8.shape[0]
     kern = functools.partial(_estimate_kernel, slope=float(slope))
+
+    def eo(a):  # [..., 32] cell map -> even/odd x pair maps [..., 16]
+        r = a.astype(jnp.float32).reshape(a.shape[:-1] + (16, 2))
+        return r[..., 0], r[..., 1]
+
+    q8e, q8o = eo(q8)
+    m8e, m8o = eo(m8)
+    f8e, f8o = eo(fac8)
     return pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 3, 32, 32, 64), lambda i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, 3, 32, 16, 128), lambda i: (i, 0, 0, 0, 0)),
             pl.BlockSpec((1, 3, 16, 32, 128), lambda i: (i, 0, 0, 0, 0)),
             pl.BlockSpec((1, 3, 32, 16, 128), lambda i: (i, 0, 0, 0, 0)),
-            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 32, 32), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 16, 32), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 32, 16), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 2, 32, 32), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 2, 16, 32), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((1, 2, 32, 16), lambda i: (i, 0, 0, 0)),
             pl.BlockSpec((3, 64), lambda i: (0, 0)),
@@ -185,16 +263,16 @@ def estimate_partials(
         ],
         interpret=_interpret(),
     )(
-        coef8.reshape(g, 3, 32, 32, 64).astype(jnp.float32),
+        coef8.reshape(g, 3, 32, 16, 128).astype(jnp.float32),
         coef_v.astype(jnp.float32),
         coef_h.astype(jnp.float32),
-        q8.astype(jnp.float32),
+        q8e, q8o,
         qv.astype(jnp.float32),
         qh.astype(jnp.float32),
-        m8.astype(jnp.float32),
+        m8e, m8o,
         mv.astype(jnp.float32),
         mh.astype(jnp.float32),
-        fac8.astype(jnp.float32),
+        f8e, f8o,
         facv.astype(jnp.float32),
         fach.astype(jnp.float32),
         jnp.asarray(qm8, jnp.float32),
