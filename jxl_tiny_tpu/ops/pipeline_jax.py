@@ -698,10 +698,23 @@ def encode_groups_stream(
         return a[:, chan].transpose(0, 2, 3, 1)
 
     ordered_em = m["ordered"]  # already emission-ordered (kernel F)
-    tokens_em, count_em = tokenize_cells(
+    tokens_em, _ = tokenize_cells(
         ordered_em, em(covered_b), em(m["nzeros_total"]),
         em(m["block_ctx"]), em(m["nzero_ctx"]), em(m["prev_init"]),
         em(first_b),
+    )
+    # Per-cell token counts directly from kernel F's lastnz (highest
+    # in-range nonzero zig-zag position): the last valid coefficient
+    # token sits at slot lastnz - covered + 1, so the count needs no
+    # reduction over the fat token array (tokenize_cells' own count —
+    # a max over [*, 128] lanes of a 212 MB array — is DCE'd by XLA
+    # since this route ignores it). Integer-identical to that reduction:
+    # valid slots are exactly 1 .. lastnz - covered + 1 (nz_left > 0
+    # holds through the last nonzero, inclusive).
+    count_em = jnp.where(
+        em(first_b),
+        1 + jnp.maximum(em(m["lastnz"]) - em(covered_b) + 1, 0),
+        0,
     )
     # Hierarchical (thin-first) compaction is the default; the classic
     # single-width path stays selectable for A/B (JXL_COMPACT_HIER=0) and
