@@ -94,28 +94,20 @@ def _family(coef_c, coef_y, qm, q, m, cf, slope):
     return ent, il2
 
 
-def _seg64_sum(x):
-    """Windowed lane sum: out[..., j] = sum of x[..., j:j+64] (shift-in-
-    zero), so lanes 0 and 64 hold the two 64-lane halves' sums after 6
-    add passes. Explicit add/shift chain — exact ops only, so interpret
-    (CPU) and Mosaic (hardware) agree bitwise by construction."""
-    for s in (1, 2, 4, 8, 16, 32):
-        x = x + jnp.concatenate(
-            [x[..., s:], jnp.zeros_like(x[..., :s])], axis=-1
-        )
-    return x
-
-
 def _family8_packed(coef_c, coef_y, qm128, q_p, m_p, cf_p, slope):
     """The 8x8 family with two cells packed per 128-lane row (the flat
     [32,32,64] coefficient array re-viewed as [32,16,128] — a free
-    reshape): full lane utilization for the elementwise chain AND the
-    reductions, which run as one segmented window-sum per quantity
-    instead of per-cell 64-lane reduces at half occupancy.
+    reshape): full lane utilization for the elementwise chain, which
+    dominates the kernel. The reductions are two 64-lane half slices
+    summed separately — the same shape and tree order as the unpacked
+    `_family` sums, so interpret (CPU) and Mosaic agree with the jnp
+    twin exactly; Mosaic rejects the lane-interleaving [32,16,2]->[32,32]
+    shape cast, so the halves are emitted side by side (even cells in
+    lanes 0:16, odd in 16:32) and un-permuted in XLA by the caller.
 
     coef_c/coef_y: [32,16,128]; qm128: [1,128] (qm8 tiled); q_p/m_p/cf_p:
     [32,16,128] per-half-broadcast cell maps. Returns (ent, il2) each
-    [32,32] (cells re-interleaved)."""
+    [32,32] in half-blocked cell order (even16 | odd16)."""
     val = (coef_c - cf_p * coef_y) * qm128 * q_p
     rval = jnp.round(val)
     diff = jnp.abs(val - rval)
@@ -128,10 +120,9 @@ def _family8_packed(coef_c, coef_y, qm128, q_p, m_p, cf_p, slope):
         + (m_p * K_IL) * diff
     )
 
-    def halves(x):  # [32,16,128] -> [32,32] (lane 0 / lane 64 per row)
-        r = _seg64_sum(x)
-        return jnp.concatenate([r[..., 0:1], r[..., 64:65]], axis=-1).reshape(
-            32, 32
+    def halves(x):  # [32,16,128] -> [32,32] (even16 | odd16 per row)
+        return jnp.concatenate(
+            [x[..., :64].sum(axis=-1), x[..., 64:].sum(axis=-1)], axis=-1
         )
 
     esum = halves(e)
@@ -229,7 +220,7 @@ def estimate_partials(
     q8e, q8o = eo(q8)
     m8e, m8o = eo(m8)
     f8e, f8o = eo(fac8)
-    return pl.pallas_call(
+    p8, pv, ph = pl.pallas_call(
         kern,
         grid=(g,),
         in_specs=[
@@ -278,6 +269,15 @@ def estimate_partials(
         jnp.asarray(qm8, jnp.float32),
         jnp.asarray(qm16, jnp.float32),
     )
+    # Un-permute the 8x8 family from half-blocked (even16 | odd16) to
+    # raster bx order: full[2j + h] = out[16h + j]. Tiny [G,3,2,32,32]
+    # array; XLA fuses this into the consumer.
+    p8 = (
+        p8.reshape(g, 3, 2, 32, 2, 16)
+        .swapaxes(-1, -2)
+        .reshape(g, 3, 2, 32, 32)
+    )
+    return p8, pv, ph
 
 
 def combine_partials(p, masking, num_blocks):
