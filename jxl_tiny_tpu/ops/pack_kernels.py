@@ -109,8 +109,43 @@ NUM_BASE_CTXS = 64
 # ---------------------------------------------------------------------------
 
 
-def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
+def _compact_banks():
+    """Accumulator banks for the OR-placement loops (JXL_COMPACT_BANKS,
+    default 1). The loop's read-OR-write of the output buffer is one
+    serial dependence chain through VMEM; with K banks iteration i lands
+    in bank i mod K, splitting the chain K ways (placement is order-free,
+    so banks OR together at the end — one vector pass over the ~130 KB
+    buffers). Gated until the hardware window A/Bs it."""
+    import os
+
+    return max(1, int(os.environ.get("JXL_COMPACT_BANKS", "1")))
+
+
+def _bank_place(refs, i, w0, contrib):
+    """OR `contrib` into refs[i mod K] at word offset w0."""
+    if len(refs) == 1:
+        ref = refs[0]
+        cur = ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+        ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+        return
+    sel = jax.lax.rem(i, len(refs))
+    for k, ref in enumerate(refs):
+        @pl.when(sel == k)
+        def _(ref=ref):
+            cur = ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
+            ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+
+
+def _bank_fold(out_ref, banks_refs):
+    for b in banks_refs:
+        out_ref[...] = out_ref[...] | b[...]
+
+
+def _compact_kernel(meta_ref, tok_ref, out_ref, *banks_refs, cap):
     out_ref[...] = jnp.zeros_like(out_ref)
+    for b in banks_refs:
+        b[...] = jnp.zeros_like(b)
+    refs = (out_ref,) + banks_refs
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
     nb = meta_ref[0, 3, 0]  # non-empty row count
 
@@ -127,11 +162,11 @@ def _compact_kernel(meta_ref, tok_ref, out_ref, *, cap):
         contrib = jnp.where(
             (lanes >= a) & (lanes < a + c), rot, jnp.uint32(0)
         )
-        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
-        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+        _bank_place(refs, i, w0, contrib)
         return 0
 
     jax.lax.fori_loop(0, nb, body, 0)
+    _bank_fold(out_ref, banks_refs)
 
 
 def left_pack(val, keep):
@@ -297,6 +332,10 @@ def compact_stream(rows_tok, rows_cnt, cap, merge_levels=6):
             (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, cap + W), jnp.uint32)
+            for _ in range(_compact_banks() - 1)
+        ],
         interpret=_interpret(),
     )(meta, rows_tok)
     return stream[:, 0], totals
@@ -306,19 +345,22 @@ THIN_W = 32  # thin-row width of the hierarchical compaction
 
 
 def _compact_hier_kernel(
-    metaW_ref, meta2_ref, tokW_ref, thin_ref, orig_ref, out_ref, *, cap
+    metaW_ref, meta2_ref, tokW_ref, thin_ref, orig_ref, out_ref, *banks_refs,
+    cap,
 ):
     out_ref[...] = jnp.zeros_like(out_ref)
+    for b in banks_refs:
+        b[...] = jnp.zeros_like(b)
+    refs = (out_ref,) + banks_refs
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * W), 1)
 
-    def place(row256, s, c):
+    def place(i, row256, s, c):
         a = s & (W - 1)
         w0 = jnp.minimum((s >> 7) * W, cap - W)
         w0 = pl.multiple_of(w0, W)
         rot = pltpu.roll(row256, a, axis=1)
         contrib = jnp.where((lanes >= a) & (lanes < a + c), rot, jnp.uint32(0))
-        cur = out_ref[0, 0, pl.ds(w0, 2 * W)].reshape(1, 2 * W)
-        out_ref[0, 0, pl.ds(w0, 2 * W)] = (cur | contrib).reshape(2 * W)
+        _bank_place(refs, i, w0, contrib)
 
     zero_half = jnp.zeros((1, W), jnp.uint32)
     zero_thin = jnp.zeros((1, 2 * W - THIN_W), jnp.uint32)
@@ -327,7 +369,7 @@ def _compact_hier_kernel(
         r = metaW_ref[0, 2, i]
         row = tokW_ref[0, r, :].reshape(1, W)
         place(
-            jnp.concatenate([row, zero_half], axis=1),
+            i, jnp.concatenate([row, zero_half], axis=1),
             metaW_ref[0, 0, r], metaW_ref[0, 1, r],
         )
         return 0
@@ -338,7 +380,7 @@ def _compact_hier_kernel(
         r = meta2_ref[0, 2, i]
         row = thin_ref[0, r, :].reshape(1, THIN_W)
         place(
-            jnp.concatenate([row, zero_thin], axis=1),
+            i, jnp.concatenate([row, zero_thin], axis=1),
             meta2_ref[0, 0, r], meta2_ref[0, 1, r],
         )
         return 0
@@ -349,12 +391,13 @@ def _compact_hier_kernel(
         r = meta2_ref[0, 3, i]
         row = orig_ref[0, r, :].reshape(1, W)
         place(
-            jnp.concatenate([row, zero_half], axis=1),
+            i, jnp.concatenate([row, zero_half], axis=1),
             meta2_ref[0, 0, r], meta2_ref[0, 1, r],
         )
         return 0
 
     jax.lax.fori_loop(0, meta2_ref[0, 5, 0], body_f, 0)
+    _bank_fold(out_ref, banks_refs)
 
 
 def compact_stream_hier(rows_tok, rows_cnt, cap, thin_levels=2, wide_levels=4):
@@ -431,6 +474,10 @@ def compact_stream_hier(rows_tok, rows_cnt, cap, thin_levels=2, wide_levels=4):
             (1, 1, cap + W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((g, 1, cap + W), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((1, 1, cap + W), jnp.uint32)
+            for _ in range(_compact_banks() - 1)
+        ],
         interpret=_interpret(),
     )(metaW, meta2, tokW, thin_tok, rows_tok)
     return stream[:, 0], totals

@@ -48,6 +48,34 @@ def test_compact_stream():
         assert (stream[k, len(ref) : cap] == 0).all()
 
 
+def test_compact_stream_banked_matches():
+    """K-bank OR-placement (JXL_COMPACT_BANKS) must be byte-equal to the
+    single-chain kernels — placement is order-free, banks OR together."""
+    import os
+
+    rng = np.random.RandomState(11)
+    g = 2
+    cnt = rng.poisson(4.0, size=(g, PK.ROWS)).clip(0, 128).astype(np.int32)
+    cnt[rng.rand(g, PK.ROWS) < 0.4] = 0
+    cnt[1, 7] = 128
+    tok = rng.randint(1, 1 << 27, size=(g, PK.ROWS, PK.W)).astype(np.uint32)
+    cap = 16384
+    s1, t1 = PK.compact_stream(jnp.asarray(tok), jnp.asarray(cnt), cap)
+    h1, u1 = PK.compact_stream_hier(jnp.asarray(tok), jnp.asarray(cnt), cap)
+    os.environ["JXL_COMPACT_BANKS"] = "2"
+    try:
+        s2, t2 = PK.compact_stream(jnp.asarray(tok), jnp.asarray(cnt), cap)
+        h2, u2 = PK.compact_stream_hier(
+            jnp.asarray(tok), jnp.asarray(cnt), cap
+        )
+    finally:
+        del os.environ["JXL_COMPACT_BANKS"]
+    assert np.array_equal(np.asarray(t1), np.asarray(t2))
+    assert np.array_equal(np.asarray(s1), np.asarray(s2))
+    assert np.array_equal(np.asarray(u1), np.asarray(u2))
+    assert np.array_equal(np.asarray(h1), np.asarray(h2))
+
+
 def test_left_pack_property():
     """left_pack == stable partition of survivors (front, original order,
     zero tail) for random keep masks and non-power-of-two axis lengths."""
